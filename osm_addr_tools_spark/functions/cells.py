@@ -1,0 +1,586 @@
+"""From-scratch S2-style hierarchical cell index (SURVEY.md §2.3, C1–C5).
+
+Implements the public S2 geometry scheme — cube-face projection, quadratic
+(u,v)→(s,t) warp, Hilbert-curve position, 64-bit packed cell ID with level
+encoded by the trailing-1 bit — as vectorized NumPy kernels suitable for
+Arrow-batched pandas UDFs. No external geo library is used (none is
+installed; BASELINE.json north_rule mandates a from-scratch index).
+
+Everything here is public knowledge: the S2 cell-id layout and the
+face/uv/st formulas are documented in the published S2 geometry spec
+(s2geometry.io). The reference repo itself was unavailable (SURVEY.md §0);
+its spatial role (rtree containment/nearest lookups) is replaced wholesale
+by this cell index used as a Spark join/partition key.
+
+Cell-ID layout (64 bits, stored as signed int64 two's-complement in Spark):
+
+    [face:3][hilbert position: 2*level bits][1][0...]
+
+level 30 is the leaf; the lsb of a level-L id is ``1 << (2*(30-L))``.
+
+All kernels take/return ``np.ndarray``; pandas-UDF wrappers live at the
+bottom. Ids are computed in uint64 and reinterpreted as int64 for Spark
+``LongType`` columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+POS_BITS = 2 * MAX_LEVEL + 1  # 61
+MAX_SIZE = 1 << MAX_LEVEL  # ij coordinate range [0, 2^30)
+
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+
+# Hilbert sub-cell traversal tables (public S2 spec values).
+_POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical order
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped & inverted
+)
+_POS_TO_ORIENTATION = (_SWAP, 0, 0, _INVERT | _SWAP)
+
+
+def _build_lookup_tables() -> tuple[np.ndarray, np.ndarray]:
+    lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+    lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+
+    def init(level: int, i: int, j: int, orig: int, pos: int, orientation: int) -> None:
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig] = (pos << 2) + orientation
+            lookup_ij[(pos << 2) + orig] = (ij << 2) + orientation
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = _POS_TO_IJ[orientation]
+        for index in range(4):
+            init(
+                level,
+                i + (r[index] >> 1),
+                j + (r[index] & 1),
+                orig,
+                pos + index,
+                orientation ^ _POS_TO_ORIENTATION[index],
+            )
+
+    for orientation in (0, _SWAP, _INVERT, _SWAP | _INVERT):
+        init(0, 0, 0, orientation, 0, orientation)
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookup_tables()
+
+
+# ---------------------------------------------------------------------------
+# lon/lat <-> face/u/v <-> s/t <-> i/j
+# ---------------------------------------------------------------------------
+
+def lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lon), cos_lat * np.sin(lon), np.sin(lat)
+
+
+def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Largest-absolute-component face selection + gnomonic (u,v)."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    major = np.choose(face, (x, y, z))
+    face = np.where(major < 0, face + 3, face).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve) in _FACE_UV_EXPRS.items():
+        m = face == f
+        if m.any():
+            u[m] = ue(x[m], y[m], z[m])
+            v[m] = ve(x[m], y[m], z[m])
+    return face, u, v
+
+
+_FACE_UV_EXPRS = {
+    0: (lambda x, y, z: y / x, lambda x, y, z: z / x),
+    1: (lambda x, y, z: -x / y, lambda x, y, z: z / y),
+    2: (lambda x, y, z: -x / z, lambda x, y, z: -y / z),
+    3: (lambda x, y, z: z / x, lambda x, y, z: y / x),
+    4: (lambda x, y, z: z / y, lambda x, y, z: -x / y),
+    5: (lambda x, y, z: -y / z, lambda x, y, z: -x / z),
+}
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    face = np.asarray(face)
+    one = np.ones_like(u)
+    xs = (one, -u, -u, -one, v, v)
+    ys = (u, one, -v, -v, -one, u)
+    zs = (v, v, one, -u, -u, -one)
+    x = np.select([face == f for f in range(6)], xs)
+    y = np.select([face == f for f in range(6)], ys)
+    z = np.select([face == f for f in range(6)], zs)
+    return x, y, z
+
+
+def uv_to_st(u: np.ndarray) -> np.ndarray:
+    """Quadratic warp (public S2 'quadratic projection')."""
+    # np.maximum guards: np.where evaluates both branches, and the unused
+    # branch would see a negative radicand for |u| > 1/3
+    return np.where(
+        u >= 0.0,
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
+    )
+
+
+def st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def st_to_ij(s: np.ndarray) -> np.ndarray:
+    return np.clip(
+        np.floor(MAX_SIZE * np.asarray(s, dtype=np.float64)), 0, MAX_SIZE - 1
+    ).astype(np.int64)
+
+
+def ij_to_st_center(ij: np.ndarray) -> np.ndarray:
+    """(s,t) of the center of leaf cell column/row ``ij``."""
+    return (np.asarray(ij, dtype=np.float64) + 0.5) / MAX_SIZE
+
+
+# ---------------------------------------------------------------------------
+# Hilbert encode/decode
+# ---------------------------------------------------------------------------
+
+def cell_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf cell id (uint64) from face and leaf ij coordinates. Vectorized."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    n = face << np.uint64(POS_BITS - 1)
+    bits = face & np.uint64(_SWAP)
+    mask = np.uint64((1 << _LOOKUP_BITS) - 1)
+    for k in range(7, -1, -1):
+        kk = np.uint64(k * _LOOKUP_BITS)
+        bits += ((i >> kk) & mask) << np.uint64(_LOOKUP_BITS + 2)
+        bits += ((j >> kk) & mask) << np.uint64(2)
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP | _INVERT)
+    return n * np.uint64(2) + np.uint64(1)
+
+
+def cell_to_face_ij(cell: np.ndarray):
+    """Inverse of :func:`cell_from_face_ij` for any-level ids.
+
+    Returns (face, i, j) where (i, j) are leaf coordinates of the cell's
+    min corner... more precisely of some leaf within the cell (matching the
+    public spec: the returned ij is the cell's ij at leaf resolution along
+    the Hilbert curve entry). For level-L cells use ``i & -size`` to get the
+    lower-left corner.
+    """
+    cell = np.asarray(cell, dtype=np.uint64)
+    face = (cell >> np.uint64(POS_BITS)).astype(np.uint64)
+    bits = face & np.uint64(_SWAP)
+    i = np.zeros_like(cell)
+    j = np.zeros_like(cell)
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * _LOOKUP_BITS) if k == 7 else _LOOKUP_BITS
+        bits += (
+            (cell >> np.uint64(k * 2 * _LOOKUP_BITS + 1))
+            & np.uint64((1 << (2 * nbits)) - 1)
+        ) << np.uint64(2)
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> np.uint64(_LOOKUP_BITS + 2)) << np.uint64(k * _LOOKUP_BITS)
+        j += ((bits >> np.uint64(2)) & np.uint64((1 << _LOOKUP_BITS) - 1)) << np.uint64(
+            k * _LOOKUP_BITS
+        )
+        bits &= np.uint64(_SWAP | _INVERT)
+    return face.astype(np.int64), i.astype(np.int64), j.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# id arithmetic
+# ---------------------------------------------------------------------------
+
+def lsb_for_level(level: int) -> int:
+    return 1 << (2 * (MAX_LEVEL - level))
+
+
+def cell_lsb(cell: np.ndarray) -> np.ndarray:
+    cell = np.asarray(cell, dtype=np.uint64)
+    return cell & (~cell + np.uint64(1))
+
+
+def cell_level(cell: np.ndarray) -> np.ndarray:
+    lsb = cell_lsb(cell).astype(np.float64)  # exact powers of two ≤ 2^60
+    return (MAX_LEVEL - (np.log2(lsb) / 2.0)).astype(np.int64)
+
+
+def cell_parent(cell: np.ndarray, level: int) -> np.ndarray:
+    """Ancestor of ``cell`` at ``level`` (caller must ensure level ≤ cell level)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    lsb = np.uint64(lsb_for_level(level))
+    return ((cell & (~lsb + np.uint64(1))) | lsb).astype(np.uint64)
+
+
+def cell_range_min(cell: np.ndarray) -> np.ndarray:
+    cell = np.asarray(cell, dtype=np.uint64)
+    return cell - (cell_lsb(cell) - np.uint64(1))
+
+
+def cell_range_max(cell: np.ndarray) -> np.ndarray:
+    cell = np.asarray(cell, dtype=np.uint64)
+    return cell + (cell_lsb(cell) - np.uint64(1))
+
+
+def cell_contains(parent: np.ndarray, child: np.ndarray) -> np.ndarray:
+    child = np.asarray(child, dtype=np.uint64)
+    return (cell_range_min(parent) <= child) & (child <= cell_range_max(parent))
+
+
+# ---------------------------------------------------------------------------
+# encode / decode API (C1, C2)
+# ---------------------------------------------------------------------------
+
+def cell_encode(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """C1: lon/lat degrees → int64 cell id at ``level``. Vectorized."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    x, y, z = lonlat_to_xyz(lon, lat)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    i = st_to_ij(uv_to_st(u))
+    j = st_to_ij(uv_to_st(v))
+    leaf = cell_from_face_ij(face, i, j)
+    if level < MAX_LEVEL:
+        leaf = cell_parent(leaf, level)
+    return leaf.astype(np.int64)
+
+
+def cell_center_lonlat(cell: np.ndarray):
+    """Center lon/lat (degrees) of each cell. Inverse-ish of cell_encode."""
+    cell_u = np.asarray(cell, dtype=np.uint64)
+    face, i, j = cell_to_face_ij(cell_u)
+    # lower-left leaf corner of the cell, then offset by half its ij size
+    size_ij = np.sqrt(cell_lsb(cell_u).astype(np.float64)).astype(np.int64)
+    i0 = i & ~(size_ij - 1)
+    j0 = j & ~(size_ij - 1)
+    s = (i0.astype(np.float64) + size_ij * 0.5) / MAX_SIZE
+    t = (j0.astype(np.float64) + size_ij * 0.5) / MAX_SIZE
+    u = st_to_uv(s)
+    v = st_to_uv(t)
+    x, y, z = face_uv_to_xyz(face, u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# neighbors (C3)
+# ---------------------------------------------------------------------------
+
+def _cell_from_face_ij_wrap(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf id for possibly-out-of-range (i, j), wrapping onto adjacent faces.
+
+    Public-spec technique: convert the out-of-range leaf coordinate to a
+    point just beyond the face boundary using the *linear* projection, snap
+    onto the correct adjacent face, and convert back.
+    """
+    i = np.clip(np.asarray(i, dtype=np.int64), -1, MAX_SIZE)
+    j = np.clip(np.asarray(j, dtype=np.int64), -1, MAX_SIZE)
+    scale = 1.0 / MAX_SIZE
+    limit = np.nextafter(1.0, 2.0)
+    u = np.clip(scale * (2.0 * (i - MAX_SIZE // 2) + 1.0), -limit, limit)
+    v = np.clip(scale * (2.0 * (j - MAX_SIZE // 2) + 1.0), -limit, limit)
+    x, y, z = face_uv_to_xyz(np.asarray(face), u, v)
+    nface, nu, nv = xyz_to_face_uv(x, y, z)
+    ni = st_to_ij(0.5 * (nu + 1.0))
+    nj = st_to_ij(0.5 * (nv + 1.0))
+    return cell_from_face_ij(nface, ni, nj)
+
+
+def cell_neighbors(cell: np.ndarray) -> np.ndarray:
+    """C3: all 8 edge+corner neighbors at the same level, shape (n, 8).
+
+    Correct across cube-face boundaries (wrap); at the 8 cube corners the
+    diagonal "neighbor" is the wrap image (a superset-safe stand-in — used
+    only for candidate generation, duplicates are harmless).
+    """
+    cell_u = np.asarray(cell, dtype=np.uint64)
+    level = cell_level(cell_u)
+    if level.size and not (level == level[0]).all():
+        raise ValueError("cell_neighbors requires uniform level per batch")
+    lvl = int(level[0]) if level.size else MAX_LEVEL
+    size = 1 << (MAX_LEVEL - lvl)
+    face, i, j = cell_to_face_ij(cell_u)
+    i &= ~(size - 1)
+    j &= ~(size - 1)
+    out = np.empty((cell_u.size, 8), dtype=np.int64)
+    k = 0
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            leaf = _cell_from_face_ij_wrap(face, i + di * size, j + dj * size)
+            out[:, k] = cell_parent(leaf, lvl).astype(np.int64)
+            k += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# polygon cover / uncover (C4, C5)
+# ---------------------------------------------------------------------------
+
+def _ring_to_face_ij_float(face: int, lon: np.ndarray, lat: np.ndarray):
+    """Project ring vertices onto one face's (i,j) float plane (may exceed
+    the [0, MAX_SIZE] range when the ring spills over the face edge)."""
+    x, y, z = lonlat_to_xyz(lon, lat)
+    # compute u,v for this specific face regardless of which face each point
+    # is nearest to (gnomonic projection extends past the face boundary)
+    uexpr, vexpr = _FACE_UV_EXPRS[face]
+    u = uexpr(x, y, z)
+    v = vexpr(x, y, z)
+    i = MAX_SIZE * uv_to_st(u)
+    j = MAX_SIZE * uv_to_st(v)
+    return i, j
+
+
+def _point_in_ring(px: float, py: float, xs: np.ndarray, ys: np.ndarray) -> bool:
+    """Even-odd ray cast, straight edges in the projected plane."""
+    n = len(xs)
+    inside = False
+    for a in range(n):
+        b = (a + 1) % n
+        ya, yb = ys[a], ys[b]
+        if (ya > py) != (yb > py):
+            xint = xs[a] + (py - ya) * (xs[b] - xs[a]) / (yb - ya)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1 = orient(p3, p4, p1)
+    d2 = orient(p3, p4, p2)
+    d3 = orient(p1, p2, p3)
+    d4 = orient(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    # collinear/touching cases — treat touch as intersect (conservative)
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    if d1 == 0 and on_seg(p3, p4, p1):
+        return True
+    if d2 == 0 and on_seg(p3, p4, p2):
+        return True
+    if d3 == 0 and on_seg(p1, p2, p3):
+        return True
+    if d4 == 0 and on_seg(p1, p2, p4):
+        return True
+    return False
+
+
+def _rect_intersects_ring(i0, j0, i1, j1, xs, ys) -> bool:
+    """Rect [i0,i1]×[j0,j1] vs polygon ring (projected plane, straight edges)."""
+    # any vertex inside rect
+    if ((xs >= i0) & (xs <= i1) & (ys >= j0) & (ys <= j1)).any():
+        return True
+    # rect corner inside ring
+    if _point_in_ring(i0, j0, xs, ys):
+        return True
+    # edge crossings
+    corners = ((i0, j0), (i1, j0), (i1, j1), (i0, j1))
+    n = len(xs)
+    for a in range(n):
+        b = (a + 1) % n
+        p1, p2 = (xs[a], ys[a]), (xs[b], ys[b])
+        for c in range(4):
+            if _segments_intersect(p1, p2, corners[c], corners[(c + 1) % 4]):
+                return True
+    return False
+
+
+def cover_polygon(rings, level: int) -> np.ndarray:
+    """C4: cells at ``level`` intersecting the polygon (outer ring minus none —
+    holes do NOT remove boundary-straddling cells; a cell fully inside a hole
+    is excluded). Returns sorted unique int64 ids.
+
+    ``rings``: list of rings; each ring a sequence of (lon, lat) pairs,
+    outer first, holes after. Intended for building-footprint-sized
+    polygons (the projected straight-edge approximation is exact at that
+    scale for candidate-superset purposes; see SURVEY §2.3 C4 exactness
+    argument).
+    """
+    if not rings:
+        return np.empty(0, dtype=np.int64)
+    outer = np.asarray(rings[0], dtype=np.float64)
+    lon, lat = outer[:, 0], outer[:, 1]
+    x, y, z = lonlat_to_xyz(lon, lat)
+    vfaces = np.unique(xyz_to_face_uv(x, y, z)[0])
+    size = 1 << (MAX_LEVEL - level)
+    out: set[int] = set()
+    for face in vfaces.tolist():
+        xs, ys = _ring_to_face_ij_float(face, lon, lat)
+        hole_xy = [
+            _ring_to_face_ij_float(face, np.asarray(r, dtype=np.float64)[:, 0],
+                                   np.asarray(r, dtype=np.float64)[:, 1])
+            for r in rings[1:]
+        ]
+        i_lo = max(0, int(np.floor(xs.min() / size)) * size)
+        i_hi = min(MAX_SIZE - 1, int(np.floor(xs.max() / size)) * size)
+        j_lo = max(0, int(np.floor(ys.min() / size)) * size)
+        j_hi = min(MAX_SIZE - 1, int(np.floor(ys.max() / size)) * size)
+        for ci in range(i_lo, i_hi + 1, size):
+            for cj in range(j_lo, j_hi + 1, size):
+                if not _rect_intersects_ring(ci, cj, ci + size, cj + size, xs, ys):
+                    continue
+                # exclude cells strictly inside a hole (all 4 corners +
+                # center in hole, no hole edge crossing the rect)
+                in_hole = False
+                for hx, hy in hole_xy:
+                    if (
+                        _point_in_ring(ci + size / 2.0, cj + size / 2.0, hx, hy)
+                        and _point_in_ring(ci, cj, hx, hy)
+                        and _point_in_ring(ci + size, cj, hx, hy)
+                        and _point_in_ring(ci, cj + size, hx, hy)
+                        and _point_in_ring(ci + size, cj + size, hx, hy)
+                        and not any(
+                            _segments_intersect(
+                                (hx[a], hy[a]),
+                                (hx[(a + 1) % len(hx)], hy[(a + 1) % len(hx)]),
+                                ca,
+                                cb,
+                            )
+                            for a in range(len(hx))
+                            for ca, cb in (
+                                (((ci, cj), (ci + size, cj))),
+                                (((ci + size, cj), (ci + size, cj + size))),
+                                (((ci + size, cj + size), (ci, cj + size))),
+                                (((ci, cj + size), (ci, cj))),
+                            )
+                        )
+                    ):
+                        in_hole = True
+                        break
+                if in_hole:
+                    continue
+                leaf = cell_from_face_ij(
+                    np.array([face]), np.array([ci]), np.array([cj])
+                )
+                out.add(int(cell_parent(leaf, level).astype(np.int64)[0]))
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def cells_to_boxes(cells: np.ndarray):
+    """C5 helper: per-cell (face, i0, j0, i1, j1) leaf-ij boxes."""
+    cell_u = np.asarray(cells, dtype=np.uint64)
+    face, i, j = cell_to_face_ij(cell_u)
+    size = np.sqrt(cell_lsb(cell_u).astype(np.float64)).astype(np.int64)
+    i0 = i & ~(size - 1)
+    j0 = j & ~(size - 1)
+    return face, i0, j0, i0 + size, j0 + size
+
+
+def cells_to_polygon(cells: np.ndarray):
+    """C5: union of cell boxes → boundary rings (raster→vector).
+
+    Boundary tracing on the union of axis-aligned leaf-ij boxes (all cells
+    must share one face). Returns a list of rings, each a list of (lon, lat)
+    vertex pairs, outer boundaries counter-clockwise in ij space.
+    """
+    if np.asarray(cells).size == 0:
+        return []
+    face, i0, j0, i1, j1 = cells_to_boxes(cells)
+    if not (face == face[0]).all():
+        raise ValueError("cells_to_polygon requires single-face cell sets")
+    f = int(face[0])
+    # collect directed boundary edges (edges not shared by two boxes)
+    edge_count: dict[tuple, int] = {}
+    for a, b, c, d in zip(i0.tolist(), j0.tolist(), i1.tolist(), j1.tolist()):
+        # CCW: (a,b)->(c,b)->(c,d)->(a,d)->(a,b)
+        for p, q in (((a, b), (c, b)), ((c, b), (c, d)), ((c, d), (a, d)), ((a, d), (a, b))):
+            if (q, p) in edge_count:
+                edge_count[(q, p)] -= 1
+                if edge_count[(q, p)] == 0:
+                    del edge_count[(q, p)]
+            else:
+                edge_count[(p, q)] = edge_count.get((p, q), 0) + 1
+    # chain directed edges into rings
+    nxt: dict[tuple, list] = {}
+    for (p, q) in edge_count:
+        nxt.setdefault(p, []).append(q)
+    for v in nxt.values():
+        v.sort()
+    rings_ij = []
+    while nxt:
+        start = min(nxt)
+        ring = [start]
+        cur = start
+        while True:
+            succs = nxt[cur]
+            q = succs.pop(0)
+            if not succs:
+                del nxt[cur]
+            ring.append(q)
+            cur = q
+            if cur == start:
+                break
+        rings_ij.append(ring[:-1])
+    # ij -> lon/lat via st (corner coordinates are exact grid lines)
+    out = []
+    for ring in rings_ij:
+        ij = np.asarray(ring, dtype=np.float64)
+        u = st_to_uv(ij[:, 0] / MAX_SIZE)
+        v = st_to_uv(ij[:, 1] / MAX_SIZE)
+        x, y, z = face_uv_to_xyz(np.full(len(ij), f), u, v)
+        lon = np.degrees(np.arctan2(y, x))
+        lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+        out.append(list(zip(lon.tolist(), lat.tolist())))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# geometry sizing (exactness proof obligations, SURVEY §7.4.2)
+# ---------------------------------------------------------------------------
+
+_EARTH_RADIUS_M = 6371008.8
+
+
+def min_cell_edge_meters(level: int) -> float:
+    """Conservative lower bound on the edge length of any level-``level``
+    cell, in meters.
+
+    Public S2 metric: minimum edge length ≈ 0.9428 (kMinEdge) in radians at
+    level 0 scaled by 2^-level... we use a deliberately conservative bound
+    (quadratic projection min edge ~ (π/2)·(2/3)·2^-level radians — the
+    shrink factor of the quadratic warp is ≥ 2/3) so the kNN sufficiency
+    assertion errs on the safe side.
+    """
+    return _EARTH_RADIUS_M * (np.pi / 2.0) * (2.0 / 3.0) * (2.0 ** -level)
+
+
+def level_for_max_distance(d_max_m: float) -> int:
+    """Largest (finest) level whose min cell edge still ≥ d_max — guarantees
+    a 3×3 neighborhood at that level covers every point within d_max."""
+    level = MAX_LEVEL
+    while level > 0 and min_cell_edge_meters(level) < d_max_m:
+        level -= 1
+    if min_cell_edge_meters(level) < d_max_m:
+        raise ValueError(f"d_max {d_max_m} exceeds level-0 cell size")
+    return level
