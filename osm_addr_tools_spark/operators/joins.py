@@ -1,0 +1,276 @@
+"""Composite spatial join operators (SURVEY.md §2.4, J1–J8).
+
+Everything is expressed as DataFrame-level plan construction — equi-joins on
+int64 cell keys plus residual Column predicates — so Catalyst keeps full
+control of physical strategy (broadcast vs sort-merge vs shuffled-hash) and
+AQE can re-plan at runtime. No RDDs, no collect() on data paths, no custom
+Strategy: the scale story (BASELINE north_rule: explicit partitioning /
+shuffle / skew handling at 10^12 docs) lives in:
+
+  * cell-bucketed candidate generation (J1/J4/J5) — turns every spatial
+    predicate into an equi-join Catalyst can shuffle-plan;
+  * two-pass salting (J3) — hot-cell histogram job → per-key salt factors
+    broadcast back, bounding task size under urban skew (AQE skew-split
+    only covers sort-merge joins, so this is deliberate app-level logic);
+  * exactness assertions carried at plan-build time (kNN level sizing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from osm_addr_tools_spark.functions import cells as C
+from osm_addr_tools_spark.functions import geo as G
+
+# ---------------------------------------------------------------------------
+# pandas-UDF wrappers over the cell kernels (Arrow-batched, never per-row)
+# ---------------------------------------------------------------------------
+
+
+def cell_encode_udf(level: int):
+    @pandas_udf("long")
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = C.cell_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
+        return pd.Series(out)
+
+    return enc
+
+
+def cell_neighbors_udf():
+    """cell → array of the 8 same-level neighbors (face-wrap correct)."""
+
+    @pandas_udf("array<long>")
+    def nbr(cell: pd.Series) -> pd.Series:
+        arr = C.cell_neighbors(cell.to_numpy(np.int64))
+        return pd.Series(list(arr))
+
+    return nbr
+
+
+def cover_polygon_udf(level: int):
+    """rings (array<array<struct<lon,lat>>>) → array<long> cover cells."""
+
+    @pandas_udf("array<long>")
+    def cov(rings: pd.Series) -> pd.Series:
+        out = []
+        for poly in rings:
+            if poly is None or len(poly) == 0:
+                out.append([])
+                continue
+            py_rings = [
+                [(p["lon"], p["lat"]) for p in ring] for ring in poly
+            ]
+            out.append(C.cover_polygon(py_rings, level).tolist())
+        return pd.Series(out)
+
+    return cov
+
+
+def pip_udf():
+    """(lon, lat, rings) → bool exact ray-cast containment (J4 refine)."""
+
+    @pandas_udf("boolean")
+    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        out = np.zeros(len(px), dtype=bool)
+        for k, poly in enumerate(rings):
+            if poly is None or len(poly) == 0:
+                continue
+            py_rings = [
+                np.array([(p["lon"], p["lat"]) for p in ring], dtype=np.float64)
+                for ring in poly
+            ]
+            out[k] = bool(
+                G.points_in_polygon(px[k : k + 1], py[k : k + 1], py_rings)[0]
+            )
+        return pd.Series(out)
+
+    return pip
+
+
+def with_cell(df: DataFrame, level: int, lon: str = "lon", lat: str = "lat",
+              out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_encode_udf(level)(F.col(lon), F.col(lat)))
+
+
+# ---------------------------------------------------------------------------
+# J3 — two-pass salted skew-safe join
+# ---------------------------------------------------------------------------
+
+DEFAULT_HOT_THRESHOLD = 50_000
+DEFAULT_ROWS_PER_TASK = 25_000
+MAX_SALT = 64
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_salt_col: Column,
+    how: str = "inner",
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    rows_per_task: int = DEFAULT_ROWS_PER_TASK,
+    max_salt: int = MAX_SALT,
+) -> DataFrame:
+    """Equi-join on ``key`` with per-key salting for hot keys (J3).
+
+    Pass 1 computes the hot-key histogram on the probe (big) side; keys above
+    ``hot_threshold`` get salt factor ceil(cnt/rows_per_task) ≤ max_salt.
+    Probe rows get ``salt = pmod(hash(probe_salt_col), S)``; build rows for
+    hot keys are replicated ×S via ``sequence``+``explode``. Non-hot keys
+    keep salt 0 on both sides, so the result is row-identical to the
+    unsalted join (property-tested).
+
+    The histogram job is a cheap partial-agg scan; the factors table is tiny
+    (only hot keys) and broadcast. This complements AQE's skew split, which
+    only applies to sort-merge joins post-shuffle.
+    """
+    hot = (
+        probe.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > hot_threshold)
+        .select(
+            key,
+            F.least(
+                F.ceil(F.col("_cnt") / F.lit(rows_per_task)), F.lit(max_salt)
+            ).cast("int").alias("_sf"),
+        )
+    )
+    p = (
+        probe.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_sf").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(probe_salt_col), F.col("_sf")).cast("int")
+            ),
+        )
+        .drop("_sf")
+    )
+    b = (
+        build.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_sf").isNull(), F.array(F.lit(0))
+                ).otherwise(F.sequence(F.lit(0), F.col("_sf") - 1))
+            ),
+        )
+        .drop("_sf")
+    )
+    return p.join(b, [key, "_salt"], how).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# J4 — point-in-polygon containment join
+# ---------------------------------------------------------------------------
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    rings: str = "rings",
+    salt: bool = False,
+    broadcast_polygons: bool | None = None,
+    **salt_kw,
+) -> DataFrame:
+    """Pair each point with every polygon containing it (J4).
+
+    Candidates: polygon cover cells at ``level`` (C4 cover ⊇ every cell that
+    contains an interior point ⇒ no false negatives) equi-joined against
+    point cells at the same level; refined by the exact ray-cast test.
+    Output: points' columns + the polygons' columns (inner join).
+    """
+    pts = with_cell(points, level, lon, lat, "_cell")
+    polys = polygons.withColumn("_cover", cover_polygon_udf(level)(F.col(rings)))
+    polys = polys.withColumn("_cell", F.explode("_cover")).drop("_cover")
+    if broadcast_polygons:
+        polys = F.broadcast(polys)
+    if salt:
+        cand = salted_join(pts, polys, "_cell", F.col(lon), **salt_kw)
+    else:
+        cand = pts.join(polys, "_cell")
+    return cand.where(pip_udf()(F.col(lon), F.col(lat), F.col(rings))).drop("_cell")
+
+
+# ---------------------------------------------------------------------------
+# J5 — distance-threshold kNN join
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    d_max_m: float,
+    k: int = 1,
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "c_lon",
+    c_lat: str = "c_lat",
+    salt: bool = False,
+    **salt_kw,
+) -> DataFrame:
+    """For each query point: the k nearest candidates within ``d_max_m``
+    meters (haversine), deterministic tie-break on candidate id (J5).
+
+    Exactness: the join level is chosen so the minimum cell edge ≥ d_max,
+    hence the 3×3 neighborhood of the query's cell provably contains every
+    candidate within d_max (assertion below is the plan-build-time proof
+    obligation from SURVEY §7.4.2). Distance math is pure Column expressions
+    (whole-stage codegen), only the cell encode is a pandas UDF.
+    """
+    level = C.level_for_max_distance(d_max_m)
+    assert C.min_cell_edge_meters(level) >= d_max_m, (
+        f"kNN sufficiency violated: level {level} edge "
+        f"{C.min_cell_edge_meters(level):.1f} m < d_max {d_max_m} m"
+    )
+    q = with_cell(queries, level, q_lon, q_lat, "_qcell")
+    # self cell + 8 neighbors = full 3×3 disk
+    q = q.withColumn(
+        "_cell",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_qcell")), cell_neighbors_udf()(F.col("_qcell"))
+            )
+        ),
+    ).drop("_qcell")
+    c = with_cell(candidates, level, c_lon, c_lat, "_cell")
+    if salt:
+        cand = salted_join(q, c, "_cell", F.col(query_id), **salt_kw)
+    else:
+        cand = q.join(c, "_cell")
+    cand = cand.drop("_cell").withColumn(
+        "dist_m", G.haversine_m(F.col(q_lon), F.col(q_lat), F.col(c_lon), F.col(c_lat))
+    )
+    cand = cand.where(F.col("dist_m") <= F.lit(float(d_max_m)))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist_m").asc(), F.col(cand_id).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — as-of latest snapshot per key
+# ---------------------------------------------------------------------------
+
+
+def asof_latest(df: DataFrame, key: str, ts: str) -> DataFrame:
+    """Latest row per ``key`` by ``ts`` (deterministic: ties broken by the
+    full row hash is unnecessary — generator guarantees distinct ts; we
+    still order by ts desc then all columns for stability)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

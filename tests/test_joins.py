@@ -1,0 +1,105 @@
+"""Operator-level join properties (SURVEY.md §5.4): salted ≡ unsalted,
+kNN exactness vs a naive cross-join, PIP exactness vs brute force."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.functions import geo as G
+from osm_addr_tools_spark.operators.joins import knn_join, pip_join, salted_join, with_cell
+from osm_addr_tools_spark.sources import synth as S
+
+
+def _points(spark, n, salt_base=0, town_frac_hot=0.5):
+    ids = np.arange(n)
+    lon = 21.0 + (S.h01(ids, 100 + salt_base) - 0.5) * 0.01
+    lat = 52.2 + (S.h01(ids, 200 + salt_base) - 0.5) * 0.006
+    # concentrate half the rows into a hot micro-box
+    hot = S.h01(ids, 300 + salt_base) < town_frac_hot
+    lon = np.where(hot, 21.0 + (S.h01(ids, 400 + salt_base) - 0.5) * 0.0004, lon)
+    lat = np.where(hot, 52.2 + (S.h01(ids, 500 + salt_base) - 0.5) * 0.0003, lat)
+    return pd.DataFrame({"pid": ids + salt_base * 10**6, "lon": lon, "lat": lat})
+
+
+def test_salted_join_equals_unsalted(spark):
+    a = spark.createDataFrame(_points(spark, 800))
+    b = spark.createDataFrame(
+        _points(spark, 300, salt_base=1).rename(
+            columns={"pid": "cid", "lon": "c_lon", "lat": "c_lat"}
+        )
+    )
+    a = with_cell(a, 15)
+    b = with_cell(b, 15, "c_lon", "c_lat")
+    plain = a.join(b, "cell").select("pid", "cid").toPandas()
+    salted = salted_join(
+        a, b, "cell", F.col("pid"), hot_threshold=10, rows_per_task=7, max_salt=8
+    ).select("pid", "cid").toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    assert key(plain) == key(salted)
+    assert len(plain) > 0
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    q = _points(spark, 400)
+    c = _points(spark, 400, salt_base=1).rename(
+        columns={"pid": "cid", "lon": "c_lon", "lat": "c_lat"}
+    )
+    d_max, k = 25.0, 3
+    got = (
+        knn_join(
+            spark.createDataFrame(q),
+            spark.createDataFrame(c),
+            query_id="pid", cand_id="cid", d_max_m=d_max, k=k,
+        )
+        .select("pid", "cid", "dist_m")
+        .toPandas()
+    )
+    # brute force in numpy
+    d = G.haversine_np(
+        q.lon.to_numpy()[:, None], q.lat.to_numpy()[:, None],
+        c.c_lon.to_numpy()[None, :], c.c_lat.to_numpy()[None, :],
+    )
+    expect = []
+    for i in range(len(q)):
+        within = np.flatnonzero(d[i] <= d_max)
+        order = np.lexsort((c.cid.to_numpy()[within], d[i][within]))
+        for j in order[:k]:
+            expect.append((int(q.pid[i]), int(c.cid.iloc[within[j]])))
+    got_set = sorted(map(tuple, got[["pid", "cid"]].to_numpy()))
+    assert got_set == sorted(expect)
+    assert len(expect) > 50  # scenario non-trivial
+
+
+def test_pip_join_exact_vs_bruteforce(spark):
+    n = 300
+    pts = _points(spark, n)
+    b = S.buildings_pdf(np.arange(400), 200)
+    import json
+
+    polys = [(int(r.building_id), json.loads(r.rings_json)) for r in b.itertuples()]
+    bdf = S.synth_buildings(spark, 200, include_special=False).select("building_id", "rings")
+    got = (
+        pip_join(spark.createDataFrame(pts), bdf, level=16)
+        .select("pid", "building_id")
+        .toPandas()
+    )
+    expect = []
+    for i in range(n):
+        for bid, rings in polys:
+            if G.points_in_polygon(
+                np.array([pts.lon[i]]), np.array([pts.lat[i]]),
+                [np.array(r) for r in rings],
+            )[0]:
+                expect.append((int(pts.pid[i]), bid))
+    assert sorted(map(tuple, got.to_numpy())) == sorted(expect)
+
+
+def test_pip_join_salted_equals_plain(spark):
+    pts = spark.createDataFrame(_points(spark, 300))
+    bdf = S.synth_buildings(spark, 200, include_special=False).select("building_id", "rings")
+    plain = pip_join(pts, bdf, 16).select("pid", "building_id").toPandas()
+    salted = pip_join(
+        pts, bdf, 16, salt=True, hot_threshold=5, rows_per_task=3
+    ).select("pid", "building_id").toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    assert key(plain) == key(salted)

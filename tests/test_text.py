@@ -1,0 +1,77 @@
+"""X1 extraction goldens — one pinned byte-case per SURVEY §7.5 rule, plus a
+kitchen-sink page — and the X2 address-grammar cases."""
+
+from osm_addr_tools_spark.functions.text import (
+    extract_text_one,
+    parse_addresses_one,
+)
+
+# (html bytes, expected extracted text) — these goldens are normative.
+X1_CASES = [
+    # 1 plain text passthrough
+    (b"hello world", "hello world"),
+    # 2 utf-8 replacement decoding
+    (b"caf\xc3\xa9 \xff ok", "café � ok"),
+    # 3 script span dropped (case-insensitive, content with tags inside)
+    (b"a<SCRIPT>x<b>y</b></sCrIpT>b", "ab"),
+    # 4 style span dropped
+    (b"a<style media='x'>p{color:red}</style>b", "ab"),
+    # 5 comment dropped
+    (b"a<!-- <div>no</div> -->b", "ab"),
+    # 6 unterminated script drops to EOF
+    (b"keep<script>lost forever", "keep"),
+    # 7 block tags become newlines; inline tags vanish
+    (b"<h1>T</h1><p>a<b>bold</b></p><div>c</div>", "T\nabold\nc"),
+    # 8 li/tr/br are block-level
+    (b"x<br>y<li>z</li><tr>w</tr>", "x\ny\nz\nw"),
+    # 9 the five xml entities + nbsp, single pass (no double decode)
+    (b"&amp;lt; &lt;&gt; &quot;q&apos; a&nbsp;b", '&lt; <> "q\' a b'),
+    # 10 numeric entities, decimal + hex + invalid surrogate
+    (b"&#322; &#x119; &#xD800;", "ł ę �"),
+    # 11 whitespace collapse: tabs/spaces -> one space, newline runs -> one \n
+    (b"a \t b\n\n  \n c", "a b\nc"),
+    # 12 unterminated '<' with no closing '>' anywhere stays literal
+    (b"5 < 6 and 7", "5 < 6 and 7"),
+    # kitchen sink
+    (
+        b"<html><head><title>T1</title><style>s{}</style>"
+        b"<script>if(1<2){}</script></head><body><!-- c -->"
+        b"<h1>Oferta</h1><div class='a'><p>ul. D&#322;uga 12,&nbsp;00-001 X</p></div>"
+        b"<ul><li>i1</li></ul></body></html>",
+        "T1\nOferta\nul. Długa 12, 00-001 X\ni1",
+    ),
+]
+
+
+def test_x1_goldens():
+    for html, expect in X1_CASES:
+        assert extract_text_one(html) == expect, html
+
+
+def test_x1_deterministic_and_pure():
+    for html, _ in X1_CASES:
+        assert extract_text_one(html) == extract_text_one(html)
+    assert extract_text_one(b"") == ""
+    assert extract_text_one(None) == ""
+
+
+PARSE_CASES = [
+    ("ul. Długa 12, 00-001 Adamowo", [("ul. Długa", "12", "00-001", "Adamowo")]),
+    ("Krótka 3 Maja 12 a, 10-100 Borkowo", [("Krótka 3 Maja", "12 a", "10-100", "Borkowo")]),
+    ("Main St. 5/2, Adamowo", [("Main St.", "5/2", None, "Adamowo")]),
+    ("no address here", []),
+    ("Opis: lokal, cena 100.", []),
+    (
+        "ul. A 1, 00-001 X\nul. B 2, 00-002 Y",
+        [("ul. A", "1", "00-001", "X"), ("ul. B", "2", "00-002", "Y")],
+    ),
+]
+
+
+def test_x2_grammar():
+    for text, expect in PARSE_CASES:
+        got = [
+            (a["street"], a["housenumber"], a["postcode"], a["city"])
+            for a in parse_addresses_one(text)
+        ]
+        assert got == expect, text
