@@ -1,0 +1,617 @@
+"""Driver-contract query registry (``__spark_entry__.py`` delegates here).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle DuckDB
+runs over the same parquet tables; the driver compares row count + schema +
+order-insensitive value hash at sf0.01 (SURVEY.md §5.3). Design rules that
+make the hashes reproducible:
+
+* every computed column aliased identically on both sides;
+* money sums go through DECIMAL(18,4) (exact, associative — immune to
+  partial-agg addition order), surfaced as double;
+* double-typed outputs only where the value is a pure deterministic
+  function of the row (no accumulation-order dependence);
+* timestamps surfaced via explicit formatting, never raw;
+* geo inputs for the spatial-operator parity checks are derived
+  arithmetically from TPC-H keys so DuckDB can reproduce them exactly —
+  the engine runs its real cell-index plans, the oracle runs a naive
+  cross join: this gates the INDEX against the naive semantics.
+
+Non-SQL-expressible pipelines (full conflation, tiling, MinHash/SimHash)
+are registered without an oracle → the driver records a rows-only check;
+their exactness gates live in pytest against the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.functions import geo as G
+
+_T = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def synth_n_pages(sf_dir: str) -> int:
+    return max(100, int(20000 * _sf_of(sf_dir)))
+
+
+# --- geo derivations (must stay arithmetically identical to the SQL) -------
+
+CUST_LON = "21.0 + (c_custkey % 997) * 0.00002"
+CUST_LAT = "52.2 + ((c_custkey * 7) % 991) * 0.000012"
+SUPP_LON = "21.0 + (s_suppkey % 89) * 0.00022"
+SUPP_LAT = "52.2 + ((s_suppkey * 13) % 83) * 0.00014"
+RECT_W = 0.0003
+RECT_H = 0.0002
+
+HAVERSINE_SQL = (
+    "2.0 * 6371008.8 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+)
+
+
+def _customer_points(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(CUST_LON).alias("lon"), F.expr(CUST_LAT).alias("lat")
+    )
+
+
+def _supplier_points(spark, sf_dir):
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(SUPP_LON).alias("c_lon"),
+        F.expr(SUPP_LAT).alias("c_lat"),
+    )
+
+
+def _supplier_rects(spark, sf_dir):
+    """Supplier rectangles as generic polygon rings (the engine treats them
+    as arbitrary polygons; only the oracle exploits rectangularity)."""
+    s = _supplier_points(spark, sf_dir)
+    lon, lat = F.col("c_lon"), F.col("c_lat")
+    w, h = F.lit(RECT_W / 2), F.lit(RECT_H / 2)
+
+    def pt(x, y):
+        return F.struct(x.alias("lon"), y.alias("lat"))
+
+    ring = F.array(
+        pt(lon - w, lat - h), pt(lon + w, lat - h),
+        pt(lon + w, lat + h), pt(lon - w, lat + h),
+    )
+    return s.select("s_suppkey", F.array(ring).alias("rings"))
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- relational core (A1/A2/A4/A5, W1-W3, O1-O4, J2/J6/J7) ------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "rollup_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "events_lag_delta",
+    """
+    SELECT event_id,
+           CAST(ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 10000) AS BIGINT) AS delta_e4
+    FROM events
+    """,
+)
+def events_lag_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round((F.col("value") - F.lag("value").over(w)) * 10000)
+        .cast("bigint")
+        .alias("delta_e4"),
+    )
+
+
+@q(
+    "events_running_cents",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def events_running_cents(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("running_cents"),
+    )
+
+
+@q(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def top_events_per_user(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id")
+    )
+
+
+@q(
+    "orders_asof_latest",
+    """
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def orders_asof_latest(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "heavy_hitter_event_types",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type HAVING COUNT(*) > 100
+    """,
+)
+def heavy_hitter_event_types(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 100)
+    )
+
+
+@q(
+    "churned_customers_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def churned_customers_except(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)  # EXCEPT (set semantics), matches the SQL
+
+
+@q(
+    "nation_customer_segments",
+    """
+    SELECT c_nationkey, CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def nation_customer_segments(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_mktsegment").alias("n_segments"))
+    )
+
+
+@q(
+    "brand_revenue_broadcast",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_revenue_broadcast(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- spatial parity: real cell-index plans vs naive SQL ---------------------
+
+
+@q(
+    "geo_knn_nearest_supplier",
+    f"""
+    SELECT c_custkey, s_suppkey FROM (
+      SELECT c.c_custkey, s.s_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY
+               {HAVERSINE_SQL.format(lon1=CUST_LON.replace('c_custkey','c.c_custkey'),
+                                     lat1=CUST_LAT.replace('c_custkey','c.c_custkey'),
+                                     lon2=SUPP_LON.replace('s_suppkey','s.s_suppkey'),
+                                     lat2=SUPP_LAT.replace('s_suppkey','s.s_suppkey'))} ASC,
+               s.s_suppkey ASC) AS rn
+      FROM customer c CROSS JOIN supplier s
+      WHERE {HAVERSINE_SQL.format(lon1=CUST_LON.replace('c_custkey','c.c_custkey'),
+                                  lat1=CUST_LAT.replace('c_custkey','c.c_custkey'),
+                                  lon2=SUPP_LON.replace('s_suppkey','s.s_suppkey'),
+                                  lat2=SUPP_LAT.replace('s_suppkey','s.s_suppkey'))} <= 50.0
+    ) t WHERE rn = 1
+    """,
+)
+def geo_knn_nearest_supplier(spark, sf_dir):
+    from osm_addr_tools_spark.operators.joins import knn_join
+
+    return knn_join(
+        _customer_points(spark, sf_dir),
+        _supplier_points(spark, sf_dir),
+        query_id="c_custkey",
+        cand_id="s_suppkey",
+        d_max_m=50.0,
+        k=1,
+    ).select("c_custkey", "s_suppkey")
+
+
+@q(
+    "geo_pip_customer_in_rect",
+    f"""
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c CROSS JOIN supplier s
+    WHERE ({CUST_LON.replace('c_custkey','c.c_custkey')})
+            BETWEEN ({SUPP_LON.replace('s_suppkey','s.s_suppkey')}) - {RECT_W / 2}
+                AND ({SUPP_LON.replace('s_suppkey','s.s_suppkey')}) + {RECT_W / 2}
+      AND ({CUST_LAT.replace('c_custkey','c.c_custkey')})
+            BETWEEN ({SUPP_LAT.replace('s_suppkey','s.s_suppkey')}) - {RECT_H / 2}
+                AND ({SUPP_LAT.replace('s_suppkey','s.s_suppkey')}) + {RECT_H / 2}
+    """,
+)
+def geo_pip_customer_in_rect(spark, sf_dir):
+    from osm_addr_tools_spark.operators.joins import pip_join
+
+    return pip_join(
+        _customer_points(spark, sf_dir),
+        _supplier_rects(spark, sf_dir),
+        level=18,
+    ).select("c_custkey", "s_suppkey")
+
+
+@q(
+    "geo_distance_band_count",
+    f"""
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+      SELECT c.c_custkey
+      FROM customer c CROSS JOIN supplier s
+      WHERE {HAVERSINE_SQL.format(lon1=CUST_LON.replace('c_custkey','c.c_custkey'),
+                                  lat1=CUST_LAT.replace('c_custkey','c.c_custkey'),
+                                  lon2=SUPP_LON.replace('s_suppkey','s.s_suppkey'),
+                                  lat2=SUPP_LAT.replace('s_suppkey','s.s_suppkey'))} <= 100.0
+    ) t GROUP BY c_custkey
+    """,
+)
+def geo_distance_band_count(spark, sf_dir):
+    from osm_addr_tools_spark.operators.joins import knn_join
+
+    # distance-band = kNN with unbounded k: reuse the 3×3 cell plan, then agg
+    pairs = knn_join(
+        _customer_points(spark, sf_dir),
+        _supplier_points(spark, sf_dir),
+        query_id="c_custkey",
+        cand_id="s_suppkey",
+        d_max_m=100.0,
+        k=10**9,
+    )
+    return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_near"))
+
+
+# --- documents: dedup + text analysis ---------------------------------------
+
+
+@q(
+    "docs_exact_dup_groups",
+    """
+    SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def docs_exact_dup_groups(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n") > 1)
+    )
+
+
+@q(
+    "docs_fingerprint",
+    """
+    SELECT doc_id, substr(sha256(text), 1, 16) AS fp16 FROM documents
+    """,
+)
+def docs_fingerprint(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 16).alias("fp16")
+    )
+
+
+@q(
+    "docs_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(length(text) AS BIGINT) AS n_chars_engine
+    FROM documents
+    """,
+)
+def docs_token_stats(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens_ws"),
+        F.length("text").cast("bigint").alias("n_chars_engine"),
+    )
+
+
+@q(
+    "docs_quality_ascii",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def docs_quality_ascii(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint")
+    return d.select(
+        "doc_id",
+        alpha.alias("n_alpha"),
+        F.round(alpha.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+    )
+
+
+# --- embeddings: similarity search ------------------------------------------
+
+
+@q(
+    "emb_cosine_top3",
+    """
+    SELECT vec_id, cand_id FROM (
+      SELECT q.vec_id, c.vec_id AS cand_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rn
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+    ) t WHERE rn <= 3
+    """,
+)
+def emb_cosine_top3(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = e.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        qv.crossJoin(F.broadcast(cv))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "cand_id")
+    )
+
+
+# --- engine pipelines (non-SQL-expressible → rows-only driver check) --------
+
+
+@q("extract_addresses")
+def extract_addresses(spark, sf_dir):
+    from osm_addr_tools_spark.plans.extract import run_extract
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    out = run_extract(spark, S.synth_pages(spark, n), S.synth_gazetteer(spark, n))
+    return out.select(
+        "url", "addr_key", "street_norm", "hn_norm", "postcode",
+        F.round("lon", 9).alias("lon"), F.round("lat", 9).alias("lat"), "geocoded",
+    )
+
+
+@q("conflate_matches")
+def conflate_matches(spark, sf_dir):
+    from osm_addr_tools_spark.plans.conflate import run_conflate
+    from osm_addr_tools_spark.plans.extract import run_extract
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    addrs = run_extract(spark, S.synth_pages(spark, n), S.synth_gazetteer(spark, n))
+    m = run_conflate(
+        spark, addrs, S.synth_buildings(spark, n), S.synth_existing(spark, n)
+    )
+    return m.select(
+        "url", "addr_key", "match_kind", "matched_ref",
+        F.round("dist_m", 3).alias("dist_mm"),
+    )
+
+
+@q("tile_assignments")
+def tile_assignments(spark, sf_dir):
+    from osm_addr_tools_spark.plans.tile import run_tile_polygons
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    return run_tile_polygons(S.synth_buildings(spark, n), level=16)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full extract→conflate on the deterministic synthetic pages
+    derived at sf0.001 scale (driver smoke-checks rows ≥ 0, stable schema)."""
+    return conflate_matches(spark, "/root/testdata/sf0.001")
