@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <headline seconds>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., plus informational keys}.
+
+The headline is the address-match conflation pipeline (BASELINE.json
+metric: address-match join throughput) over the deterministic synthetic
+pages table at 1M-pages-per-sf scale; every query is forced to full
+materialization through the noop sink (no collect on the driver).
+
+tools/bench_scaling.py wraps this to produce the N-vs-4N evidence in
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .config("spark.ui.enabled", "false")
+        .appName("osm-addr-tools-spark-bench")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full computation of every column; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def bench_queries(spark, sf_dir: str, n_pages: int):
+    from pyspark.sql import functions as F
+
+    from osm_addr_tools_spark import queries as Q
+    from osm_addr_tools_spark.plans.conflate import run_conflate
+    from osm_addr_tools_spark.plans.extract import run_extract
+    from osm_addr_tools_spark.plans.tile import run_tile_polygons
+    from osm_addr_tools_spark.sources import synth as S
+
+    def conflate_pipeline():
+        addrs = run_extract(
+            spark, S.synth_pages(spark, n_pages), S.synth_gazetteer(spark, n_pages)
+        )
+        return run_conflate(
+            spark,
+            addrs,
+            S.synth_buildings(spark, n_pages),
+            S.synth_existing(spark, n_pages),
+            salt=True,
+            hot_threshold=100_000,
+            rows_per_task=50_000,
+        )
+
+    return {
+        "conflate_pipeline": conflate_pipeline,
+        "extract_only": lambda: run_extract(
+            spark, S.synth_pages(spark, n_pages), S.synth_gazetteer(spark, n_pages)
+        ),
+        "tile_polygons": lambda: run_tile_polygons(
+            S.synth_buildings(spark, n_pages), level=16
+        ),
+        "q1_pricing_summary": lambda: Q.QUERIES["q1_pricing_summary"](spark, sf_dir),
+        "q3_top_revenue_orders": lambda: Q.QUERIES["q3_top_revenue_orders"](spark, sf_dir),
+        "brand_revenue_broadcast": lambda: Q.QUERIES["brand_revenue_broadcast"](spark, sf_dir),
+        "events_running_cents": lambda: Q.QUERIES["events_running_cents"](spark, sf_dir),
+        "geo_knn_nearest_supplier": lambda: Q.QUERIES["geo_knn_nearest_supplier"](spark, sf_dir),
+        "geo_distance_band_count": lambda: Q.QUERIES["geo_distance_band_count"](spark, sf_dir),
+        "emb_cosine_top3": lambda: Q.QUERIES["emb_cosine_top3"](spark, sf_dir),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_pages = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(1000, int(1_000_000 * sf)))))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = bench_queries(spark, sf_dir, n_pages)
+    timings: dict[str, float] = {}
+    match_rows = 0
+    for name, make in qs.items():
+        df = make()
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "conflate_pipeline":
+            # row count for throughput (cheap second pass over cached plan
+            # would skew timings; count separately, not timed)
+            match_rows = df.count()
+
+    headline = timings["conflate_pipeline"]
+    out = {
+        "metric": "address-match conflation pipeline wall (synthetic pages, salted joins)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "match_rows": match_rows,
+        "throughput_rows_per_sec": round(match_rows / headline, 1) if headline else None,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

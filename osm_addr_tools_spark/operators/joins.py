@@ -209,7 +209,7 @@ def pip_join(
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
-    query_id: str,
+    query_id: str | list[str],
     cand_id: str,
     d_max_m: float,
     k: int = 1,
@@ -244,16 +244,17 @@ def knn_join(
             )
         ),
     ).drop("_qcell")
+    qid_cols = [query_id] if isinstance(query_id, str) else list(query_id)
     c = with_cell(candidates, level, c_lon, c_lat, "_cell")
     if salt:
-        cand = salted_join(q, c, "_cell", F.col(query_id), **salt_kw)
+        cand = salted_join(q, c, "_cell", F.col(qid_cols[0]), **salt_kw)
     else:
         cand = q.join(c, "_cell")
     cand = cand.drop("_cell").withColumn(
         "dist_m", G.haversine_m(F.col(q_lon), F.col(q_lat), F.col(c_lon), F.col(c_lat))
     )
     cand = cand.where(F.col("dist_m") <= F.lit(float(d_max_m)))
-    w = Window.partitionBy(query_id).orderBy(
+    w = Window.partitionBy(*qid_cols).orderBy(
         F.col("dist_m").asc(), F.col(cand_id).asc()
     )
     return (

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (driver mandate): brute-force
+cosine top-k as the exactness baseline, and two scale paths — random-
+hyperplane LSH bucketing and IVF (coarse-quantizer) partitioning.
+
+Spark-first shape: the vector math is Column expressions (zip_with /
+aggregate — JVM-side, codegen) wherever possible; only the hyperplane
+projection and centroid assignment are Arrow-batched NumPy UDFs (matrix
+multiply per batch — the textbook vectorized-UDF case).
+
+At 10^12-row scale the LSH/IVF variants turn ANN into an equi-join on the
+bucket key: candidates shuffle only within buckets, brute force never
+leaves the small query side (broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    c_id: str = "cand_id",
+    q_vec: str = "q_emb",
+    c_vec: str = "c_emb",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side, scan candidates
+    once, window-rank. Ties broken on candidate id."""
+    pairs = candidates.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_col(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(q_id, c_id, F.col("sim"))
+    )
+
+
+def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """Random-hyperplane LSH: sign bits of R·v packed into an int bucket.
+    One matrix multiply per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf("long")
+    def bucket(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        bits = (m.astype(np.float64) @ planes) > 0
+        vals = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 10,
+    n_probes: int = 1,
+    q_id: str = "vec_id",
+    c_id: str = "cand_id",
+    q_vec: str = "q_emb",
+    c_vec: str = "c_emb",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: equi-join on the hyperplane bucket
+    (n_probes>1 additionally probes buckets at hamming distance 1 —
+    multi-probe recall boost without more hyperplanes)."""
+    bq = hyperplane_bucket_udf(dim, n_planes, seed)
+    bc = hyperplane_bucket_udf(dim, n_planes, seed)
+    qb = queries.withColumn("_bucket", bq(F.col(q_vec)))
+    if n_probes > 1:
+        flips = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(n_planes, n_probes - 1))
+            ],
+        )
+        qb = qb.withColumn("_bucket", F.explode(flips))
+    cb = candidates.withColumn("_bucket", bc(F.col(c_vec)))
+    pairs = qb.join(cb, "_bucket").withColumn(
+        "sim", cosine_col(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        pairs.dropDuplicates([q_id, c_id])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(q_id, c_id, "sim")
+    )
+
+
+def kmeans_centroids(vectors: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42):
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer
+    (driver-side on a SAMPLE — the only non-distributed step, bounded)."""
+    rng = np.random.default_rng(seed)
+    cent = vectors[rng.choice(len(vectors), size=n_centroids, replace=False)].astype(
+        np.float64
+    )
+    for _ in range(iters):
+        d = ((vectors[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = vectors[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def centroid_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("array<int>")
+    def assign(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return assign
+
+
+def ivf_ann_topk(
+    spark,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample: int = 2000,
+    q_id: str = "vec_id",
+    c_id: str = "cand_id",
+    q_vec: str = "q_emb",
+    c_vec: str = "c_emb",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF: train a coarse quantizer on a bounded candidate sample, assign
+    candidates to their nearest centroid (1 list each), probe the query's
+    ``n_probe`` nearest lists — candidate generation is an equi-join on the
+    list id."""
+    samp = np.stack(
+        [r[0] for r in candidates.select(c_vec).limit(sample).collect()]
+    )
+    cent = kmeans_centroids(samp, n_centroids, seed=seed)
+    c_assign = centroid_assign_udf(cent, 1)
+    q_assign = centroid_assign_udf(cent, n_probe)
+    cb = candidates.withColumn("_list", c_assign(F.col(c_vec))[0])
+    qb = queries.withColumn("_list", F.explode(q_assign(F.col(q_vec))))
+    pairs = qb.join(cb, "_list").withColumn(
+        "sim", cosine_col(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        pairs.dropDuplicates([q_id, c_id])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(q_id, c_id, "sim")
+    )

@@ -36,7 +36,14 @@ from osm_addr_tools_spark.functions import normalize as N
 from osm_addr_tools_spark.operators.joins import knn_join, pip_join
 
 D_MAX_M = 10.0
-CONTAINMENT_LEVEL = 16
+# Containment-join bucket level sized to building-footprint scale (~12 m
+# cells): the candidate count per point stays O(buildings overlapping one
+# cell) even inside deliberately hot urban micro-boxes. Coarser levels
+# collapse a hot block into one cell and the candidate join goes quadratic
+# (measured 12.5 candidates/point at level 16 vs ~1.4 at 19 on the 20k-page
+# fixture). Cover ⊇ containment holds at every level, so results are
+# level-invariant; only candidate volume changes.
+CONTAINMENT_LEVEL = 19
 
 
 def existing_key_udf():
@@ -92,104 +99,120 @@ def run_conflate(
     Returns the matches table (one row per geocoded extracted address):
     (url, addr_key, city, street, housenumber, postcode, street_norm,
     hn_norm, lon, lat, match_kind, matched_ref, dist_m, tags).
+
+    Plan shape: a SINGLE linear dataflow — the three evidence joins (key
+    match, containment, nearest) are LEFT joins onto the address set and
+    one ``when``-chain projection applies the precedence. The alternative
+    (union of branches carved out by anti-joins) evaluates the shared
+    upstream once per branch; inside one action the concurrent branch
+    stages race to populate caches and the extraction DAG runs multiple
+    times (measured ~2× wall on the 20k-page fixture). The only
+    materialization points are the two genuinely shared frontiers (the
+    address set, the keyed existing set), persisted and eagerly realized —
+    in a production multi-stage run these are exactly the cut points the
+    checkpoint manifest (plans/manifest.py) writes to parquet.
     """
-    a = addrs.where(F.col("geocoded")).drop("geocoded")
+    from pyspark import StorageLevel
+
+    def pin(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: prevents concurrent duplicate-evaluation races
+        return df
+
+    a = pin(addrs.where(F.col("geocoded")).drop("geocoded"))
 
     # --- existing side: normalized key + one deterministic node per key ----
-    ex = existing.select(
-        "node_id", "lon", "lat", "tags", existing_key_udf()("tags").alias("k")
-    ).select(
-        "node_id",
-        F.col("lon").alias("e_lon"),
-        F.col("lat").alias("e_lat"),
-        F.col("tags").alias("e_tags"),
-        F.col("k.addr_key").alias("addr_key"),
-        F.col("k.has_postcode").alias("has_postcode"),
+    ex = pin(
+        existing.select(
+            "node_id", "lon", "lat", "tags", existing_key_udf()("tags").alias("k")
+        ).select(
+            "node_id",
+            F.col("lon").alias("e_lon"),
+            F.col("lat").alias("e_lat"),
+            F.col("tags").alias("e_tags"),
+            F.col("k.addr_key").alias("addr_key"),
+            F.col("k.has_postcode").alias("has_postcode"),
+        )
     )
     w_key = Window.partitionBy("addr_key").orderBy(F.col("node_id").asc())
     ex_best = (
         ex.withColumn("_rn", F.row_number().over(w_key))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .select("addr_key", F.col("node_id").alias("k_node"),
+                "has_postcode", "e_lon", "e_lat", "e_tags")
     )
 
-    # --- stage 1: duplicate / update via addr_key equi-join (J6) -----------
-    key_hit = a.join(ex_best, "addr_key", "inner")
-    dup_upd = key_hit.select(
-        *[c for c in a.columns],
-        F.when(
-            F.col("has_postcode") | F.col("postcode").isNull(), F.lit("duplicate")
-        ).otherwise(F.lit("update")).alias("match_kind"),
-        F.col("node_id").alias("matched_ref"),
-        G.haversine_m(F.col("lon"), F.col("lat"), F.col("e_lon"), F.col("e_lat")).alias("dist_m"),
-        F.when(
-            F.col("has_postcode") | F.col("postcode").isNull(), F.col("e_tags")
-        ).otherwise(
-            F.map_concat(
-                F.col("e_tags"),
-                F.create_map(F.lit("addr:postcode"), F.col("postcode")),
-            )
-        ).alias("tags"),
-    )
-    remaining = a.join(ex_best.select("addr_key"), "addr_key", "left_anti")
-
-    # --- stage 2: attach via containment join (J4) --------------------------
+    # --- evidence 2: containment (J4) → smallest containing building --------
     unaddressed = buildings.where(
         ~F.map_contains_key(F.col("tags"), F.lit("addr:housenumber"))
     ).select("building_id", "rings")
-    contained = pip_join(
-        remaining, unaddressed, containment_level, salt=salt, **salt_kw
-    )
-    w_b = Window.partitionBy("url", "addr_key").orderBy(F.col("building_id").asc())
-    attach = (
-        contained.withColumn("_rn", F.row_number().over(w_b))
-        .where(F.col("_rn") == 1)
-        .select(
-            *[c for c in a.columns],
-            F.lit("attach").alias("match_kind"),
-            F.col("building_id").alias("matched_ref"),
-            F.lit(0.0).alias("dist_m"),
-            _import_tags_col().alias("tags"),
-        )
-    )
-    rest = remaining.join(
-        attach.select("url", "addr_key"), ["url", "addr_key"], "left_anti"
+    best_building = (
+        pip_join(a.select("url", "addr_key", "lon", "lat"), unaddressed,
+                 containment_level, salt=salt, **salt_kw)
+        .groupBy("url", "addr_key")
+        .agg(F.min("building_id").alias("b_ref"))
     )
 
-    # --- stage 3: nearest within d_max via kNN join (J5) --------------------
-    cands = ex.select(
-        "node_id", F.col("e_lon").alias("c_lon"), F.col("e_lat").alias("c_lat")
-    )
-    near_raw = knn_join(
-        rest.withColumn("_qid", F.concat_ws("", "url", "addr_key")),
-        cands,
-        query_id="_qid",
+    # --- evidence 3: nearest existing node within d_max (J5, k=1) -----------
+    near1 = knn_join(
+        a.select("url", "addr_key", "lon", "lat"),
+        ex.select("node_id", F.col("e_lon").alias("c_lon"),
+                  F.col("e_lat").alias("c_lat")),
+        query_id=["url", "addr_key"],
         cand_id="node_id",
         d_max_m=d_max_m,
         k=1,
         salt=salt,
         **salt_kw,
-    )
-    nearest = near_raw.select(
-        *[c for c in a.columns],
-        F.lit("nearest").alias("match_kind"),
-        F.col("node_id").alias("matched_ref"),
-        F.col("dist_m"),
-        _import_tags_col().alias("tags"),
-    )
+    ).select("url", "addr_key", F.col("node_id").alias("n_node"),
+             F.col("dist_m").alias("n_dist"))
 
-    # --- stage 4: create ----------------------------------------------------
-    create = rest.join(
-        nearest.select("url", "addr_key"), ["url", "addr_key"], "left_anti"
-    ).select(
-        *[c for c in a.columns],
-        F.lit("create").alias("match_kind"),
-        F.lit(None).cast("long").alias("matched_ref"),
-        F.lit(None).cast("double").alias("dist_m"),
-        _import_tags_col().alias("tags"),
+    # --- evidence 1 (key equi-join, J6) + one-pass precedence projection ----
+    j = (
+        a.join(ex_best, "addr_key", "left")
+        .join(best_building, ["url", "addr_key"], "left")
+        .join(near1, ["url", "addr_key"], "left")
     )
-
-    out = dup_upd.unionByName(attach).unionByName(nearest).unionByName(create)
+    is_dup = F.col("k_node").isNotNull() & (
+        F.col("has_postcode") | F.col("postcode").isNull()
+    )
+    is_upd = F.col("k_node").isNotNull() & ~(
+        F.col("has_postcode") | F.col("postcode").isNull()
+    )
+    is_attach = F.col("k_node").isNull() & F.col("b_ref").isNotNull()
+    is_near = (
+        F.col("k_node").isNull()
+        & F.col("b_ref").isNull()
+        & F.col("n_node").isNotNull()
+    )
+    key_dist = G.haversine_m(F.col("lon"), F.col("lat"), F.col("e_lon"), F.col("e_lat"))
+    out = j.select(
+        *[c for c in a.columns],
+        F.when(is_dup, "duplicate")
+        .when(is_upd, "update")
+        .when(is_attach, "attach")
+        .when(is_near, "nearest")
+        .otherwise("create")
+        .alias("match_kind"),
+        F.when(is_dup | is_upd, F.col("k_node"))
+        .when(is_attach, F.col("b_ref"))
+        .when(is_near, F.col("n_node"))
+        .alias("matched_ref"),
+        F.when(is_dup | is_upd, key_dist)
+        .when(is_attach, F.lit(0.0))
+        .when(is_near, F.col("n_dist"))
+        .alias("dist_m"),
+        F.when(is_dup, F.col("e_tags"))
+        .when(
+            is_upd,
+            F.map_concat(
+                F.col("e_tags"),
+                F.create_map(F.lit("addr:postcode"), F.col("postcode")),
+            ),
+        )
+        .otherwise(_import_tags_col())
+        .alias("tags"),
+    )
     return out.select(*_OUT_COLS)
 
 

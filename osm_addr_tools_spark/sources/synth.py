@@ -175,23 +175,6 @@ _HTML_TMPL = (
 )
 
 
-def _render_html(p: int, addrs: list[pd.Series]) -> bytes:
-    addr_block = "".join(
-        '<div class="addr"><p>{} {},&nbsp;{} {}</p></div>\n'.format(
-            a["street_raw"], a["hn_raw"], a["postcode"], a["city"]
-        )
-        for a in addrs
-    )
-    html = _HTML_TMPL.format(
-        p=p,
-        addr_block=addr_block,
-        sqm=30 + p % 70,
-        rooms=1 + p % 5,
-        floor=p % 11,
-    )
-    return html.encode("utf-8")
-
-
 def pages_pdf(ids, n_pages: int) -> pd.DataFrame:
     """Pages rows for generator ids in [0, 2·n_pages).
 
@@ -209,17 +192,31 @@ def pages_pdf(ids, n_pages: int) -> pd.DataFrame:
     uni_first = addr_universe_pdf(p, n_pages)
     uni_second = addr_universe_pdf(p + n_pages, n_pages)
 
+    def addr_lines(uni: pd.DataFrame) -> list[str]:
+        return [
+            f'<div class="addr"><p>{s} {h},&nbsp;{pc} {c}</p></div>\n'
+            for s, h, pc, c in zip(
+                uni["street_raw"], uni["hn_raw"], uni["postcode"], uni["city"]
+            )
+        ]
+
+    first_lines = addr_lines(uni_first)
+    second_lines = addr_lines(uni_second)
+    has_addr = plan["has_addr"].to_numpy()
+    has_second = plan["has_second"].to_numpy()
     rows = []
-    for k in range(len(p)):
-        addrs = []
-        if plan["has_addr"].iat[k]:
-            addrs.append(uni_first.iloc[k])
-        if plan["has_second"].iat[k]:
-            addrs.append(uni_second.iloc[k])
-        rows.append(_render_html(int(p[k]), addrs))
-    t = np.array([0, 1])  # town index for url host: page's first-addr town
+    for k, pp in enumerate(p.tolist()):
+        block = (first_lines[k] if has_addr[k] else "") + (
+            second_lines[k] if has_second[k] else ""
+        )
+        rows.append(
+            _HTML_TMPL.format(
+                p=pp, addr_block=block, sqm=30 + pp % 70,
+                rooms=1 + pp % 5, floor=pp % 11,
+            ).encode("utf-8")
+        )
     nt = n_towns_for(n_pages)
-    urls = [f"https://town{int(pp) % nt}.example/listing/{int(pp)}" for pp in p]
+    urls = [f"https://town{pp % nt}.example/listing/{pp}" for pp in p.tolist()]
     ts = EPOCH_S + p * 137 + np.where(is_recrawl, 86400, 0)
     html = pd.Series(rows, dtype=object)
     return pd.DataFrame(
@@ -262,34 +259,41 @@ def existing_pdf(a_ids, n_pages: int) -> pd.DataFrame:
     h5 = h01(a, 5)
     h11 = h01(a, 11)
 
+    variants_of = dict(STREETS)
+    canon_index = {canon: i for i, (canon, _) in enumerate(STREETS)}
+
     rows = []
     same = uni[h5 < 0.35]
     full = h11[h5 < 0.35] < 0.5
-    for (_, r), is_full in zip(same.iterrows(), full):
+    for aid, canon, raw0, city, hn_raw, pc, lon, lat, is_full in zip(
+        same["addr_id"].tolist(), same["street_canon"], same["street_raw"],
+        same["city"], same["hn_raw"], same["postcode"],
+        same["lon"].tolist(), same["lat"].tolist(), full,
+    ):
         # different raw variant than the page used (normalization collision)
-        variants = dict(STREETS)[r["street_canon"]]
-        raw = variants[(variants.index(r["street_raw"]) + 1) % len(variants)] \
-            if r["street_raw"] in variants else variants[0]
-        tags = {
-            "addr:city": r["city"],
-            "addr:street": raw,
-            "addr:housenumber": r["hn_raw"],
-        }
+        variants = variants_of[canon]
+        raw = (
+            variants[(variants.index(raw0) + 1) % len(variants)]
+            if raw0 in variants
+            else variants[0]
+        )
+        tags = {"addr:city": city, "addr:street": raw, "addr:housenumber": hn_raw}
         if is_full:
-            tags["addr:postcode"] = r["postcode"]
-        rows.append((int(r["addr_id"]) * 10 + 1, r["lon"], r["lat"], tags))
+            tags["addr:postcode"] = pc
+        rows.append((aid * 10 + 1, lon, lat, tags))
 
     near = uni[(h5 >= 0.35) & (h5 < 0.45)]
-    for _, r in near.iterrows():
-        s_next = STREETS[(STREETS.index((r["street_canon"], dict(STREETS)[r["street_canon"]])) + 1) % len(STREETS)]
+    for aid, canon, city, lon, lat in zip(
+        near["addr_id"].tolist(), near["street_canon"], near["city"],
+        near["lon"].tolist(), near["lat"].tolist(),
+    ):
+        s_next = STREETS[(canon_index[canon] + 1) % len(STREETS)]
         tags = {
-            "addr:city": r["city"],
+            "addr:city": city,
             "addr:street": s_next[1][0],
-            "addr:housenumber": str(5000 + int(r["addr_id"]) % 999),
+            "addr:housenumber": str(5000 + aid % 999),
         }
-        rows.append(
-            (int(r["addr_id"]) * 10 + 2, r["lon"], r["lat"] + 5.0 / 111320.0, tags)
-        )
+        rows.append((aid * 10 + 2, lon, lat + 5.0 / 111320.0, tags))
 
     return pd.DataFrame(rows, columns=["node_id", "lon", "lat", "tags"])
 
@@ -313,19 +317,23 @@ def buildings_pdf(a_ids, n_pages: int) -> pd.DataFrame:
     a = uni["addr_id"].to_numpy()
     pick = h01(a, 6) < 0.25
     addressed = h01(a, 12) < 0.3
+    sel = uni[pick]
     rows = []
-    for (_, r), has_addr in zip(uni[pick].iterrows(), addressed[pick]):
-        rings = [_rect(r["lon"], r["lat"], 0.00016, 0.0001)]
+    w2, h2 = 0.00016 / 2, 0.0001 / 2
+    for aid, city, street_raw, hn_raw, lon, lat, has_addr in zip(
+        sel["addr_id"].tolist(), sel["city"], sel["street_raw"], sel["hn_raw"],
+        sel["lon"].tolist(), sel["lat"].tolist(), addressed[pick],
+    ):
+        rings_json = (
+            f"[[[{lon - w2!r},{lat - h2!r}],[{lon + w2!r},{lat - h2!r}],"
+            f"[{lon + w2!r},{lat + h2!r}],[{lon - w2!r},{lat + h2!r}]]]"
+        )
         tags = {"building": "yes"}
         if has_addr:
             tags.update(
-                {
-                    "addr:city": r["city"],
-                    "addr:street": r["street_raw"],
-                    "addr:housenumber": r["hn_raw"],
-                }
+                {"addr:city": city, "addr:street": street_raw, "addr:housenumber": hn_raw}
             )
-        rows.append((int(r["addr_id"]) * 10 + 3, json.dumps(rings), tags))
+        rows.append((aid * 10 + 3, rings_json, tags))
     return pd.DataFrame(rows, columns=["building_id", "rings_json", "tags"])
 
 

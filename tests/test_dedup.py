@@ -1,0 +1,179 @@
+"""Dedup family gates: planted near-duplicates must be found; exact methods
+must agree with brute-force semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.operators import dedup as D
+from osm_addr_tools_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted(spark):
+    """documents ∪ near-duplicate mutations (append two words) ∪ exact
+    copies. Planted ids: near-dup = doc_id + 10^6, exact = doc_id + 2*10^6."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200).cache()
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    exact = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionByName(near).unionByName(exact).cache()
+
+
+def test_exact_dup_groups(spark, docs_with_planted):
+    groups = D.exact_dup_groups(docs_with_planted).toPandas()
+    planted = docs_with_planted.where(F.col("doc_id") >= 2_000_000).count()
+    assert len(groups) == planted
+    assert (groups.n == 2).all()
+    # keep_doc is always the original (smaller id)
+    assert (groups.keep_doc < 2_000_000).all()
+
+
+def test_dedup_exact_keeps_min_id(spark, docs_with_planted):
+    n_total = docs_with_planted.count()
+    n_planted_exact = docs_with_planted.where(F.col("doc_id") >= 2_000_000).count()
+    kept = D.dedup_exact(docs_with_planted)
+    assert kept.count() == n_total - n_planted_exact
+    assert kept.where(F.col("doc_id") >= 2_000_000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted(spark, docs_with_planted):
+    pairs = D.ngram_jaccard_pairs(docs_with_planted, threshold=0.5).toPandas()
+    near_ids = set(
+        r.doc_id - 1_000_000
+        for r in docs_with_planted.where(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+        ).select("doc_id").collect()
+    )
+    found = set(zip(pairs.a, pairs.b))
+    for orig in near_ids:
+        assert (orig, orig + 1_000_000) in found, orig
+    # exact copies are jaccard 1.0
+    ones = pairs[pairs.jaccard == 1.0]
+    assert len(ones) >= 1
+
+
+def test_ngram_jaccard_is_exact(spark, docs_with_planted):
+    """Engine jaccard values equal brute-force set jaccard."""
+    pairs = D.ngram_jaccard_pairs(docs_with_planted, threshold=0.5).toPandas()
+    texts = {r.doc_id: r.text for r in docs_with_planted.collect()}
+    for row in pairs.itertuples():
+        sa = set(D._shingle_hashes(texts[row.a], 5).tolist())
+        sb = set(D._shingle_hashes(texts[row.b], 5).tolist())
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(row.jaccard - expect) < 1e-6
+
+
+def test_minhash_lsh_recall_on_planted(spark, docs_with_planted):
+    pairs = D.minhash_lsh_pairs(docs_with_planted, threshold=0.5).toPandas()
+    found = set(zip(pairs.a, pairs.b))
+    near_pairs = [
+        (r.doc_id - 1_000_000, r.doc_id)
+        for r in docs_with_planted.where(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+        ).select("doc_id").collect()
+    ]
+    recall = sum(p in found for p in near_pairs) / len(near_pairs)
+    assert recall >= 0.9, recall
+    # estimated jaccard within 0.25 of exact for found planted pairs
+    texts = {r.doc_id: r.text for r in docs_with_planted.collect()}
+    for row in pairs.itertuples():
+        if (row.a, row.b) in near_pairs:
+            sa = set(D._shingle_hashes(texts[row.a], 5).tolist())
+            sb = set(D._shingle_hashes(texts[row.b], 5).tolist())
+            exact = len(sa & sb) / len(sa | sb)
+            assert abs(row.est_jaccard - exact) < 0.25
+
+
+def test_simhash_finds_planted(spark, docs_with_planted):
+    pairs = D.simhash_pairs(docs_with_planted, max_hamming=6).toPandas()
+    found = set(zip(pairs.a, pairs.b))
+    exact_pairs = [
+        (r.doc_id - 2_000_000, r.doc_id)
+        for r in docs_with_planted.where(F.col("doc_id") >= 2_000_000)
+        .select("doc_id").collect()
+    ]
+    # identical text → identical simhash → hamming 0 → always found
+    for p in exact_pairs:
+        assert p in found
+    zero = pairs[pairs.hamming == 0]
+    assert len(zero) >= len(exact_pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Candidates = real embeddings; queries = 30 planted near-copies
+    (candidate + small deterministic noise → cosine ≈ 0.99). The planted
+    true neighbor is the ground truth an ANN method must recover — top-k
+    over purely random vectors is not an LSH-recoverable target."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    cp = c.toPandas()
+    rng = np.random.default_rng(42)
+    idx = rng.choice(len(cp), size=30, replace=False)
+    rows = []
+    for qi, i in enumerate(idx):
+        v = np.array(cp.c_emb.iloc[i], dtype=np.float64)
+        noise = rng.standard_normal(len(v)) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((int(cp.cand_id.iloc[i]), (v + noise).astype(np.float32).tolist()))
+    qp = pd.DataFrame(rows, columns=["true_nn", "q_emb"])
+    qp["vec_id"] = qp.true_nn * 1000 + 1
+    q = spark.createDataFrame(qp[["vec_id", "true_nn", "q_emb"]])
+    q = q.withColumn("q_emb", F.col("q_emb").cast("array<float>"))
+    return q.cache(), c.cache()
+
+
+def _planted_recall(approx: pd.DataFrame, qp: pd.DataFrame) -> float:
+    truth = dict(zip(qp.vec_id, qp.true_nn))
+    hits = 0
+    for vid, grp in approx.groupby("vec_id"):
+        hits += truth[vid] in set(grp.cand_id)
+    return hits / len(truth)
+
+
+def test_ann_bruteforce_finds_planted(spark, emb):
+    q, c = emb
+    got = SIM.brute_force_topk(q.select("vec_id", "q_emb"), c, k=5).toPandas()
+    assert _planted_recall(got, q.select("vec_id", "true_nn").toPandas()) == 1.0
+
+
+def test_ann_lsh_recall_on_planted(spark, emb):
+    q, c = emb
+    approx = SIM.lsh_ann_topk(
+        q.select("vec_id", "q_emb"), c, k=5, dim=64, n_planes=6, n_probes=4
+    ).toPandas()
+    r = _planted_recall(approx, q.select("vec_id", "true_nn").toPandas())
+    assert r >= 0.8, r
+
+
+def test_ann_ivf_recall_on_planted(spark, emb):
+    q, c = emb
+    approx = SIM.ivf_ann_topk(
+        spark, q.select("vec_id", "q_emb"), c, k=5, n_centroids=8, n_probe=3, sample=500
+    ).toPandas()
+    r = _planted_recall(approx, q.select("vec_id", "true_nn").toPandas())
+    assert r >= 0.9, r
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    q, c = emb
+    got = SIM.brute_force_topk(q, c, k=3).toPandas()
+    qp = q.toPandas()
+    cp = c.toPandas()
+    qm = np.stack(qp.q_emb.to_numpy()).astype(np.float64)
+    cm = np.stack(cp.c_emb.to_numpy()).astype(np.float64)
+    sims = (qm @ cm.T) / (
+        np.linalg.norm(qm, axis=1)[:, None] * np.linalg.norm(cm, axis=1)[None, :]
+    )
+    for i, vid in enumerate(qp.vec_id):
+        order = np.lexsort((cp.cand_id.to_numpy(), -sims[i]))[:3]
+        expect = set(cp.cand_id.to_numpy()[order])
+        have = set(got[got.vec_id == vid].cand_id)
+        assert have == expect, vid
