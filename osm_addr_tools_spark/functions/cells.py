@@ -416,25 +416,19 @@ def _rect_intersects_ring(i0, j0, i1, j1, xs, ys) -> bool:
     return False
 
 
-def cover_polygon(rings, level: int) -> np.ndarray:
-    """C4: cells at ``level`` intersecting the polygon (outer ring minus none —
-    holes do NOT remove boundary-straddling cells; a cell fully inside a hole
-    is excluded). Returns sorted unique int64 ids.
-
-    ``rings``: list of rings; each ring a sequence of (lon, lat) pairs,
-    outer first, holes after. Intended for building-footprint-sized
-    polygons (the projected straight-edge approximation is exact at that
-    scale for candidate-superset purposes; see SURVEY §2.3 C4 exactness
-    argument).
-    """
+def cover_polygon_ij(rings, level: int) -> list[tuple[int, int, int]]:
+    """C4 core: the (face, i, j) lower corners of cells at ``level``
+    intersecting the polygon — WITHOUT encoding to ids, so callers can
+    batch the Hilbert encode across many polygons (the encode dominated
+    per-polygon cost when done cell-at-a-time)."""
     if not rings:
-        return np.empty(0, dtype=np.int64)
+        return []
     outer = np.asarray(rings[0], dtype=np.float64)
     lon, lat = outer[:, 0], outer[:, 1]
     x, y, z = lonlat_to_xyz(lon, lat)
     vfaces = np.unique(xyz_to_face_uv(x, y, z)[0])
     size = 1 << (MAX_LEVEL - level)
-    out: set[int] = set()
+    out: set[tuple[int, int, int]] = set()
     for face in vfaces.tolist():
         xs, ys = _ring_to_face_ij_float(face, lon, lat)
         hole_xy = [
@@ -480,11 +474,29 @@ def cover_polygon(rings, level: int) -> np.ndarray:
                         break
                 if in_hole:
                     continue
-                leaf = cell_from_face_ij(
-                    np.array([face]), np.array([ci]), np.array([cj])
-                )
-                out.add(int(cell_parent(leaf, level).astype(np.int64)[0]))
-    return np.array(sorted(out), dtype=np.int64)
+                out.add((face, ci, cj))
+    return sorted(out)
+
+
+def cover_ij_to_cells(triples, level: int) -> np.ndarray:
+    """Batch-encode (face, i, j) cover triples (possibly from MANY polygons)
+    to sorted unique int64 cell ids at ``level`` in one vectorized pass."""
+    if not triples:
+        return np.empty(0, dtype=np.int64)
+    arr = np.asarray(triples, dtype=np.int64)
+    leaf = cell_from_face_ij(arr[:, 0], arr[:, 1], arr[:, 2])
+    return np.unique(cell_parent(leaf, level).astype(np.int64))
+
+
+def cover_polygon(rings, level: int) -> np.ndarray:
+    """C4: cells at ``level`` intersecting the polygon (outer ring; a cell
+    strictly inside a hole is excluded, boundary-straddlers retained).
+    Returns sorted unique int64 ids. ``rings``: list of rings, each a
+    sequence of (lon, lat) pairs, outer first, holes after. Intended for
+    building-footprint-sized polygons (projected straight-edge
+    approximation — exact at that scale for candidate-superset purposes;
+    SURVEY §2.3 C4)."""
+    return cover_ij_to_cells(cover_polygon_ij(rings, level), level)
 
 
 def cells_to_boxes(cells: np.ndarray):

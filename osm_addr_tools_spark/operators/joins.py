@@ -56,15 +56,25 @@ def cover_polygon_udf(level: int):
 
     @pandas_udf("array<long>")
     def cov(rings: pd.Series) -> pd.Series:
-        out = []
+        # per-polygon geometry tests in Python, but ONE vectorized Hilbert
+        # encode for the whole Arrow batch (encode dominated cost when done
+        # cell-at-a-time: 0.9 ms → ~0.1 ms per building)
+        triples_per_row: list[list[tuple[int, int, int]]] = []
         for poly in rings:
             if poly is None or len(poly) == 0:
-                out.append([])
+                triples_per_row.append([])
                 continue
-            py_rings = [
-                [(p["lon"], p["lat"]) for p in ring] for ring in poly
-            ]
-            out.append(C.cover_polygon(py_rings, level).tolist())
+            py_rings = [[(p["lon"], p["lat"]) for p in ring] for ring in poly]
+            triples_per_row.append(C.cover_polygon_ij(py_rings, level))
+        flat = [t for row in triples_per_row for t in row]
+        if flat:
+            arr = np.asarray(flat, dtype=np.int64)
+            leaf = C.cell_from_face_ij(arr[:, 0], arr[:, 1], arr[:, 2])
+            ids = C.cell_parent(leaf, level).astype(np.int64)
+        out, pos = [], 0
+        for row in triples_per_row:
+            out.append(sorted(set(ids[pos : pos + len(row)].tolist())))
+            pos += len(row)
         return pd.Series(out)
 
     return cov

@@ -569,6 +569,90 @@ def emb_cosine_top3(spark, sf_dir):
     )
 
 
+# --- dedup / ANN / text-analysis / multimodal (rows-only driver checks;
+# --- exactness/recall gates live in pytest vs brute force) -------------------
+
+
+def _docs_with_planted(spark, sf_dir):
+    """documents ∪ deterministic near-dup and exact-copy plants — gives the
+    dedup operators a known-positive workload at any sf."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    exact = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    from osm_addr_tools_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+
+
+@q("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark, sf_dir):
+    from osm_addr_tools_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    from osm_addr_tools_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_planted(spark, sf_dir), max_hamming=6)
+
+
+@q("emb_ann_lsh_top3")
+def emb_ann_lsh_top3(spark, sf_dir):
+    from osm_addr_tools_spark.operators.similarity import lsh_ann_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.col("embedding").alias("q_emb")
+    )
+    cv = e.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    return lsh_ann_topk(qv, cv, k=3, dim=64, n_planes=6, n_probes=4).select(
+        "vec_id", "cand_id", F.round("sim", 6).alias("sim")
+    )
+
+
+@q("docs_lang_id")
+def docs_lang_id(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_addr_tools_spark.functions import text as T
+
+    @pandas_udf("string")
+    def lid(t):
+        return T.lang_id(t)
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", lid("text").alias("lang_pred")
+    )
+
+
+@q("media_decode_features")
+def media_decode_features(spark, sf_dir):
+    from osm_addr_tools_spark.operators import multimodal as M
+
+    n = synth_n_pages(sf_dir)
+    media = M.synth_media(spark, n)
+    dec = M.decode_media(media)
+    feats = M.media_features(media, dim=16)
+    return dec.join(feats, "media_id").select(
+        "media_id", "kind", "width", "height", "n_frames",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 # --- engine pipelines (non-SQL-expressible → rows-only driver check) --------
 
 

@@ -1,0 +1,113 @@
+"""Two-parallelism scaling evidence (BASELINE.md / driver north_rule).
+
+The north_rule's criterion — ≥0.8 throughput-scaling efficiency from N to
+4N executors — cannot use a real cluster in this sandbox; per the driver's
+instruction it is evidenced by running the SAME job at two local
+parallelism levels on the SAME input and reporting throughput at both.
+
+Runs bench.py in fresh subprocesses (fresh JVM each — no warm-worker
+bleed-through) at local[N] and local[4N], computes
+    efficiency = (throughput_4N / throughput_N) / 4
+and writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [N] [n_pages]   (default N=8 → 8 vs 32)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import platform
+import subprocess
+import sys
+
+
+def run_bench(cpus: int, n_pages: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_N_PAGES=str(n_pages),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py produced no JSON (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    lo = run_bench(n, n_pages, sf_dir)
+    hi = run_bench(4 * n, n_pages, sf_dir)
+    thr_lo = lo["throughput_rows_per_sec"]
+    thr_hi = hi["throughput_rows_per_sec"]
+    eff = (thr_hi / thr_lo) / 4.0
+
+    os.makedirs("BENCH", exist_ok=True)
+    import pyspark
+
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured numbers + N→4N scaling evidence
+
+Generated {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')} by tools/bench_scaling.py.
+Sandbox substitute for the north_rule's two-cluster-size criterion (driver
+instruction): same job, same input, local[{n}] vs local[{4 * n}].
+
+## Pinned configuration
+
+| knob | value |
+|---|---|
+| seed | 42 (all generators id-pure, splitmix64) |
+| input | deterministic synthetic pages, n_pages={n_pages} (+~10% re-crawls), sf_dir={sf_dir} |
+| spark | {pyspark.__version__}, AQE on, shuffle.partitions=2×cores, Arrow batch 5000 |
+| python / platform | {platform.python_version()} / {platform.platform()} |
+| cores available | {os.cpu_count()} |
+
+## Headline: address-match conflation pipeline (extract → conflate, salted joins)
+
+| parallelism | wall (s) | match rows | throughput (rows/s) |
+|---|---|---|---|
+| local[{n}] | {lo['value']} | {lo['match_rows']} | {thr_lo} |
+| local[{4 * n}] | {hi['value']} | {hi['match_rows']} | {thr_hi} |
+
+**Scaling efficiency N→4N = (thr_4N / thr_N) / 4 = {eff:.3f}** (target ≥ 0.8)
+
+## Per-query walls (seconds)
+
+| query | local[{n}] | local[{4 * n}] |
+|---|---|---|
+""")
+        for k in lo["queries"]:
+            f.write(f"| {k} | {lo['queries'][k]} | {hi['queries'].get(k, '—')} |\n")
+        f.write(f"""
+## Notes
+
+- Throughput = conflation match rows / pipeline wall; the pipeline includes
+  synthetic-page generation, X1/X2 extraction, geocode broadcast join, key
+  equi-join, cell-bucketed PIP containment join (level 19), 3×3-neighborhood
+  kNN join (level sized to d_max=10 m), and the precedence projection.
+- Fixed costs that do NOT grow with data (Python worker cold-start ≈1.5 s
+  per worker × cores, Spark session setup) are included in the walls, which
+  UNDERSTATES large-scale efficiency; at 10^12-doc scale these amortize to
+  zero.
+- Determinism: both runs produce identical match rows ({lo['match_rows']} == {hi['match_rows']}: {lo['match_rows'] == hi['match_rows']}).
+""")
+    print(json.dumps({"eff": round(eff, 3), "thr_lo": thr_lo, "thr_hi": thr_hi,
+                      "lo_wall": lo["value"], "hi_wall": hi["value"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
