@@ -77,7 +77,7 @@ def run_extract(
     gazetteer: DataFrame,
     lang_filter: list[str] | None = None,
     dedupe_crawls: bool = True,
-    broadcast_gazetteer: bool = True,
+    broadcast_gazetteer: bool | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) × gazetteer → address points.
 
@@ -111,6 +111,9 @@ def run_extract(
         F.col("lon"),
         F.col("lat"),
     )
+    # None = let Catalyst/AQE pick (broadcasts under the size threshold,
+    # shuffle-join otherwise — measured faster for multi-100k-row gazetteers);
+    # True forces the hint for genuinely small dimension tables.
     if broadcast_gazetteer:
         gaz = F.broadcast(gaz)
     out = df.join(gaz, ["city_norm", "street_norm", "hn_norm"], "left")

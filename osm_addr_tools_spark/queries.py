@@ -368,6 +368,37 @@ def brand_revenue_broadcast(spark, sf_dir):
     )
 
 
+@q(
+    "nation_customers_sample",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM (SELECT c_nationkey, c_name FROM customer WHERE c_custkey % 97 = 0) t
+    GROUP BY c_nationkey
+    """,
+)
+def nation_customers_sample(spark, sf_dir):
+    # A6: deterministic collect_list — explicit sort before join, never
+    # relying on collection order
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 97 == 0)
+        .groupBy("c_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"))
+    )
+
+
+@q("events_user_approx_distinct")
+def events_user_approx_distinct(spark, sf_dir):
+    # A3: HLL++ sketch — no SQL oracle (DuckDB's approx sketch differs);
+    # the error bound is gated in tests/test_queries_extra.py
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
 # --- spatial parity: real cell-index plans vs naive SQL ---------------------
 
 

@@ -46,6 +46,7 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.daemon.module", "osm_addr_tools_spark.daemon_prewarm")
         .config("spark.ui.enabled", "false")
         .appName("oracle-check")
         .getOrCreate()
