@@ -60,9 +60,11 @@ def materialize_inputs(spark, n_pages: int, base: str) -> None:
     addrs = run_extract(
         spark, S.synth_pages(spark, n_pages), S.synth_gazetteer(spark, n_pages)
     )
-    addrs.where("geocoded").write.mode("overwrite").parquet(f"{base}/addrs")
-    S.synth_buildings(spark, n_pages).write.mode("overwrite").parquet(f"{base}/buildings")
-    S.synth_existing(spark, n_pages).write.mode("overwrite").parquet(f"{base}/existing")
+    # 64 files each: read parallelism never bottlenecks on file count,
+    # whatever core count later reads these
+    addrs.where("geocoded").repartition(64).write.mode("overwrite").parquet(f"{base}/addrs")
+    S.synth_buildings(spark, n_pages).repartition(64).write.mode("overwrite").parquet(f"{base}/buildings")
+    S.synth_existing(spark, n_pages).repartition(64).write.mode("overwrite").parquet(f"{base}/existing")
     open(f"{base}/_done_{n_pages}", "w").write("ok")
 
 

@@ -80,25 +80,101 @@ def cover_polygon_udf(level: int):
     return cov
 
 
+def rings_to_edges_udf():
+    """rings → flat edge array [xa,ya,xb,yb]×n over ALL rings (outer +
+    holes). Downstream containment uses even-odd parity over every edge,
+    which IS outer-minus-holes semantics; and array<double> crosses
+    Arrow→pandas as plain numpy (no per-vertex dict unpacking)."""
+
+    @pandas_udf("array<double>")
+    def to_edges(rings: pd.Series) -> pd.Series:
+        out = []
+        for poly in rings:
+            if poly is None or len(poly) == 0:
+                out.append([])
+                continue
+            segs = []
+            for ring in poly:
+                v = np.array([(p["lon"], p["lat"]) for p in ring], dtype=np.float64)
+                nxt = np.roll(v, -1, axis=0)
+                segs.append(np.concatenate([v, nxt], axis=1).ravel())
+            out.append(np.concatenate(segs))
+        return pd.Series(out)
+
+    return to_edges
+
+
+def cover_and_edges_udf(level: int):
+    """rings → struct(cover array<long>, edges array<double>): ONE Arrow
+    pass and ONE nested-struct unpack per polygon feeds both the candidate
+    generator (cover cells) and the exact refine kernel (flat edges)."""
+
+    @pandas_udf("struct<cover:array<long>,edges:array<double>>")
+    def both(rings: pd.Series) -> pd.Series:
+        covers: list[list[tuple[int, int, int]]] = []
+        edges_out = []
+        for poly in rings:
+            if poly is None or len(poly) == 0:
+                covers.append([])
+                edges_out.append([])
+                continue
+            py_rings = []
+            segs = []
+            for ring in poly:
+                v = np.array([(p["lon"], p["lat"]) for p in ring], dtype=np.float64)
+                py_rings.append(v)
+                nxt = np.roll(v, -1, axis=0)
+                segs.append(np.concatenate([v, nxt], axis=1).ravel())
+            covers.append(C.cover_polygon_ij(py_rings, level))
+            edges_out.append(np.concatenate(segs))
+        flat = [t for row in covers for t in row]
+        if flat:
+            arr = np.asarray(flat, dtype=np.int64)
+            leaf = C.cell_from_face_ij(arr[:, 0], arr[:, 1], arr[:, 2])
+            ids = C.cell_parent(leaf, level).astype(np.int64)
+        cov_ids, pos = [], 0
+        for row in covers:
+            cov_ids.append(sorted(set(ids[pos : pos + len(row)].tolist())))
+            pos += len(row)
+        return pd.DataFrame({"cover": cov_ids, "edges": edges_out})
+
+    return both
+
+
 def pip_udf():
-    """(lon, lat, rings) → bool exact ray-cast containment (J4 refine)."""
+    """(lon, lat, edges) → bool exact even-odd ray cast (J4 refine).
+
+    Fully batch-vectorized: all candidate rows' edges concatenate into one
+    (total_edges, 4) array; crossings count per row via bincount; parity
+    decides containment. Zero per-row Python — this replaced a per-row
+    loop that dominated the containment join at scale.
+    """
 
     @pandas_udf("boolean")
-    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
+    def pip(lon: pd.Series, lat: pd.Series, edges: pd.Series) -> pd.Series:
+        n = len(lon)
         px = lon.to_numpy(np.float64)
         py = lat.to_numpy(np.float64)
-        out = np.zeros(len(px), dtype=bool)
-        for k, poly in enumerate(rings):
-            if poly is None or len(poly) == 0:
-                continue
-            py_rings = [
-                np.array([(p["lon"], p["lat"]) for p in ring], dtype=np.float64)
-                for ring in poly
-            ]
-            out[k] = bool(
-                G.points_in_polygon(px[k : k + 1], py[k : k + 1], py_rings)[0]
-            )
-        return pd.Series(out)
+        counts = np.fromiter(
+            ((len(e) // 4) if e is not None else 0 for e in edges),
+            dtype=np.int64, count=n,
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype=bool))
+        flat = np.concatenate(
+            [np.asarray(e, dtype=np.float64) for e in edges if e is not None and len(e)]
+        ).reshape(-1, 4)
+        row_idx = np.repeat(np.arange(n), counts)
+        xa, ya, xb, yb = flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]
+        pyr = py[row_idx]
+        pxr = px[row_idx]
+        crosses = (ya > pyr) != (yb > pyr)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (pyr - ya) * (xb - xa) / (yb - ya)
+        hit = crosses & (pxr < xint)
+        parity = np.bincount(row_idx[hit], minlength=n) & 1
+        return pd.Series(parity.astype(bool))
 
     return pip
 
@@ -200,7 +276,12 @@ def pip_join(
     Output: points' columns + the polygons' columns (inner join).
     """
     pts = with_cell(points, level, lon, lat, "_cell")
-    polys = polygons.withColumn("_cover", cover_polygon_udf(level)(F.col(rings)))
+    # one Arrow pass over polygons computes cover cells AND the flat edge
+    # array; rings never travel through the join (smaller shuffle payload,
+    # no nested-struct unpacking in the refine kernel)
+    polys = polygons.withColumn("_ce", cover_and_edges_udf(level)(F.col(rings))).drop(rings)
+    polys = polys.select("*", F.col("_ce.cover").alias("_cover"),
+                         F.col("_ce.edges").alias("_edges")).drop("_ce")
     polys = polys.withColumn("_cell", F.explode("_cover")).drop("_cover")
     if broadcast_polygons:
         polys = F.broadcast(polys)
@@ -208,7 +289,10 @@ def pip_join(
         cand = salted_join(pts, polys, "_cell", F.col(lon), **salt_kw)
     else:
         cand = pts.join(polys, "_cell")
-    return cand.where(pip_udf()(F.col(lon), F.col(lat), F.col(rings))).drop("_cell")
+    return (
+        cand.where(pip_udf()(F.col(lon), F.col(lat), F.col("_edges")))
+        .drop("_cell", "_edges")
+    )
 
 
 # ---------------------------------------------------------------------------

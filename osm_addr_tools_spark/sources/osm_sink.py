@@ -44,7 +44,7 @@ def matches_to_osmchange(matches: DataFrame) -> DataFrame:
     """matches → (kind string, xml string) fragments, one row per edit."""
     w = Window.orderBy("addr_key", "url")  # deterministic negative ids
     df = matches.where(F.col("match_kind") != "duplicate").withColumn(
-        "_new_id", -F.row_number().over(w)
+        "new_id", -F.row_number().over(w)
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -54,11 +54,11 @@ def matches_to_osmchange(matches: DataFrame) -> DataFrame:
                 tags = dict(r.tags or {})
                 if r.match_kind == "create":
                     kinds.append("create")
-                    xmls.append(_node_xml(int(r._new_id), r.lon, r.lat, tags))
+                    xmls.append(_node_xml(int(r.new_id), r.lon, r.lat, tags))
                 elif r.match_kind == "nearest":
                     tags["fixme"] = f"verify near node {int(r.matched_ref)} ({r.dist_m:.1f} m)"
                     kinds.append("create")
-                    xmls.append(_node_xml(int(r._new_id), r.lon, r.lat, tags))
+                    xmls.append(_node_xml(int(r.new_id), r.lon, r.lat, tags))
                 elif r.match_kind == "update":
                     kinds.append("modify")
                     xmls.append(_node_xml(int(r.matched_ref), r.lon, r.lat, tags))

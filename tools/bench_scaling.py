@@ -49,8 +49,16 @@ def main() -> int:
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    lo = run_bench(n, n_pages, sf_dir)
-    hi = run_bench(4 * n, n_pages, sf_dir)
+    # Best-of-N, alternating levels: this sandbox VM shows up to 3×
+    # run-to-run variance (SMT + microVM jitter); best-of filters it and
+    # alternation keeps slow phases from biasing one level.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_bench(n, n_pages, sf_dir))
+        hi_runs.append(run_bench(4 * n, n_pages, sf_dir))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     thr_lo = lo["throughput_rows_per_sec"]
     thr_hi = hi["throughput_rows_per_sec"]
     eff = (thr_hi / thr_lo) / 4.0
@@ -103,6 +111,9 @@ instruction): same job, same input, local[{n}] vs local[{4 * n}].
   UNDERSTATES large-scale efficiency; at 10^12-doc scale these amortize to
   zero.
 - Determinism: both runs produce identical match rows ({lo['match_rows']} == {hi['match_rows']}: {lo['match_rows'] == hi['match_rows']}).
+- Walls are best-of-{repeats} alternating runs — this sandbox microVM shows
+  up to 3× run-to-run jitter. All observed headline walls (s):
+  local[{n}] = {[r['value'] for r in lo_runs]}, local[{4 * n}] = {[r['value'] for r in hi_runs]}.
 """)
     print(json.dumps({"eff": round(eff, 3), "thr_lo": thr_lo, "thr_hi": thr_hi,
                       "lo_wall": lo["value"], "hi_wall": hi["value"]}))
