@@ -30,6 +30,13 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
         .config("spark.python.daemon.module", "osm_addr_tools_spark.daemon_prewarm")
         .config("spark.sql.adaptive.enabled", "true")
+        # CPU-heavy Arrow stages must be sized by CORES, not input bytes:
+        # with the default 128 MB splits, a 20 MB input collapses to 2-4
+        # scan partitions and every downstream pandas-UDF stage serializes
+        # (measured: flat wall from local[2] to local[8]). Same for AQE's
+        # post-shuffle coalescing ahead of the PIP-refine stage.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")

@@ -249,7 +249,12 @@ def salted_join(
         )
         .drop("_sf")
     )
-    return p.join(b, [key, "_salt"], how).drop("_salt")
+    # shuffle_hash hint: the build side flows from UDF-heavy subtrees whose
+    # static size estimates are unreliable — a wrong initial broadcast
+    # serializes hundreds of MB through the driver (measured 58 s at 600k
+    # rows). Forcing shuffle keeps it distributed; AQE still downgrades to
+    # broadcast at runtime when the ACTUAL size is small.
+    return p.join(b.hint("shuffle_hash"), [key, "_salt"], how).drop("_salt")
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +290,10 @@ def pip_join(
     polys = polys.withColumn("_cell", F.explode("_cover")).drop("_cover")
     if broadcast_polygons:
         polys = F.broadcast(polys)
+    elif not salt:
+        # see salted_join: never let a static misestimate broadcast the
+        # cover-exploded polygon side through the driver
+        polys = polys.hint("shuffle_hash")
     if salt:
         cand = salted_join(pts, polys, "_cell", F.col(lon), **salt_kw)
     else:
@@ -343,7 +352,7 @@ def knn_join(
     if salt:
         cand = salted_join(q, c, "_cell", F.col(qid_cols[0]), **salt_kw)
     else:
-        cand = q.join(c, "_cell")
+        cand = q.join(c.hint("shuffle_hash"), "_cell")
     cand = cand.drop("_cell").withColumn(
         "dist_m", G.haversine_m(F.col(q_lon), F.col(q_lat), F.col(c_lon), F.col(c_lat))
     )

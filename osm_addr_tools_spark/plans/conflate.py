@@ -168,10 +168,14 @@ def run_conflate(
              F.col("dist_m").alias("n_dist"))
 
     # --- evidence 1 (key equi-join, J6) + one-pass precedence projection ----
+    # shuffle_hash hints: these right sides come from UDF subtrees with
+    # unreliable static size estimates; a misestimated initial broadcast
+    # would serialize them through the driver. AQE converts back to
+    # broadcast at runtime where genuinely small.
     j = (
-        a.join(ex_best, "addr_key", "left")
-        .join(best_building, ["url", "addr_key"], "left")
-        .join(near1, ["url", "addr_key"], "left")
+        a.join(ex_best.hint("shuffle_hash"), "addr_key", "left")
+        .join(best_building.hint("shuffle_hash"), ["url", "addr_key"], "left")
+        .join(near1.hint("shuffle_hash"), ["url", "addr_key"], "left")
     )
     is_dup = F.col("k_node").isNotNull() & (
         F.col("has_postcode") | F.col("postcode").isNull()
