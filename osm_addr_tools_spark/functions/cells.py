@@ -233,6 +233,24 @@ def cell_parent(cell: np.ndarray, level: int) -> np.ndarray:
     return ((cell & (~lsb + np.uint64(1))) | lsb).astype(np.uint64)
 
 
+def cell_children(cell: np.ndarray) -> np.ndarray:
+    """C2: the 4 direct children of each cell, shape (n, 4).
+
+    Pure id arithmetic (public S2 layout): children are consecutive along
+    the Hilbert curve — ``child_k = c - λ + (2k+1)·λ'`` where λ is the
+    cell's lsb and λ' = λ >> 2 the child lsb. Callers must not pass leaf
+    (level-30) cells.
+    """
+    cell_u = np.asarray(cell, dtype=np.uint64)
+    lsb = cell_lsb(cell_u)
+    if (lsb == np.uint64(1)).any():
+        raise ValueError("leaf cells have no children")
+    child_lsb = lsb >> np.uint64(2)
+    base = cell_u - lsb + child_lsb
+    ks = np.arange(4, dtype=np.uint64) * np.uint64(2)
+    return (base[:, None] + ks[None, :] * child_lsb[:, None]).astype(np.int64)
+
+
 def cell_range_min(cell: np.ndarray) -> np.ndarray:
     cell = np.asarray(cell, dtype=np.uint64)
     return cell - (cell_lsb(cell) - np.uint64(1))
@@ -575,16 +593,18 @@ _EARTH_RADIUS_M = 6371008.8
 
 
 def min_cell_edge_meters(level: int) -> float:
-    """Conservative lower bound on the edge length of any level-``level``
-    cell, in meters.
+    """Conservative lower bound on the width of any level-``level`` cell,
+    in meters.
 
-    Public S2 metric: minimum edge length ≈ 0.9428 (kMinEdge) in radians at
-    level 0 scaled by 2^-level... we use a deliberately conservative bound
-    (quadratic projection min edge ~ (π/2)·(2/3)·2^-level radians — the
-    shrink factor of the quadratic warp is ≥ 2/3) so the kNN sufficiency
-    assertion errs on the safe side.
+    Public S2 metric for the quadratic projection: kMinWidth deriv =
+    2·√2/3 ≈ 0.9428 radians, scaled by 2^-level — the true minimum width,
+    attained by cells at the cube-face corners. (An earlier bound used
+    (π/2)·(2/3) ≈ 1.047, which is ~11% ABOVE the true minimum: near face
+    corners a 3×3 neighborhood sized by it could miss neighbors in the top
+    distance band of a level. Gated by the face-corner test in
+    tests/test_joins.py.)
     """
-    return _EARTH_RADIUS_M * (np.pi / 2.0) * (2.0 / 3.0) * (2.0 ** -level)
+    return _EARTH_RADIUS_M * (2.0 * np.sqrt(2.0) / 3.0) * (2.0 ** -level)
 
 
 def level_for_max_distance(d_max_m: float) -> int:

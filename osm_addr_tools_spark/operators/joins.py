@@ -67,6 +67,7 @@ def cover_polygon_udf(level: int):
             py_rings = [[(p["lon"], p["lat"]) for p in ring] for ring in poly]
             triples_per_row.append(C.cover_polygon_ij(py_rings, level))
         flat = [t for row in triples_per_row for t in row]
+        ids = np.empty(0, dtype=np.int64)  # all-empty batch: no covers at all
         if flat:
             arr = np.asarray(flat, dtype=np.int64)
             leaf = C.cell_from_face_ij(arr[:, 0], arr[:, 1], arr[:, 2])
@@ -128,6 +129,7 @@ def cover_and_edges_udf(level: int):
             covers.append(C.cover_polygon_ij(py_rings, level))
             edges_out.append(np.concatenate(segs))
         flat = [t for row in covers for t in row]
+        ids = np.empty(0, dtype=np.int64)  # all-empty batch: no covers at all
         if flat:
             arr = np.asarray(flat, dtype=np.int64)
             leaf = C.cell_from_face_ij(arr[:, 0], arr[:, 1], arr[:, 2])
@@ -215,7 +217,16 @@ def salted_join(
     The histogram job is a cheap partial-agg scan; the factors table is tiny
     (only hot keys) and broadcast. This complements AQE's skew split, which
     only applies to sort-merge joins post-shuffle.
+
+    Only inner/left are supported: right/full would emit each UNMATCHED
+    replicated build row once per salt value after ``_salt`` is dropped.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'); got {how!r} — "
+            "replicated build rows would duplicate unmatched output under "
+            "right/full semantics"
+        )
     hot = (
         probe.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_cnt"))

@@ -129,3 +129,47 @@ def test_level_for_max_distance_bound():
         assert C.min_cell_edge_meters(lvl) >= d
         if lvl < C.MAX_LEVEL:
             assert C.min_cell_edge_meters(lvl + 1) < d
+
+
+def test_cell_children_partition_parent():
+    # C2: children are level+1, parent() inverts, ranges tile the parent
+    pts = C.cell_encode(np.array([21.0, 16.9, 45.0]), np.array([52.2, 52.4, 35.26]), 14)
+    ch = C.cell_children(pts)
+    assert ch.shape == (3, 4)
+    for row, parent in zip(ch, pts):
+        lv = C.cell_level(np.asarray(row, dtype=np.int64))
+        assert (lv == 15).all()
+        back = C.cell_parent(np.asarray(row, dtype=np.int64), 14).astype(np.int64)
+        assert (back == parent).all()
+        # the 4 child ranges exactly tile the parent range (leaf ids are
+        # odd, so consecutive ranges step by 2)
+        mins = np.sort(C.cell_range_min(np.asarray(row, dtype=np.uint64)))
+        maxs = np.sort(C.cell_range_max(np.asarray(row, dtype=np.uint64)))
+        assert mins[0] == C.cell_range_min(np.asarray([parent], dtype=np.uint64))[0]
+        assert maxs[-1] == C.cell_range_max(np.asarray([parent], dtype=np.uint64))[0]
+        assert (mins[1:] == maxs[:-1] + np.uint64(2)).all()
+
+
+def test_cell_children_refines_cover():
+    # children of a cover at L are a cover at L+1 (coarse-to-fine refinement)
+    ring = [(21.0000, 52.2000), (21.0008, 52.2000), (21.0008, 52.2005), (21.0000, 52.2005)]
+    cov15 = C.cover_polygon([ring], 15)
+    refined = np.unique(C.cell_children(cov15).ravel())
+    cov16 = C.cover_polygon([ring], 16)
+    assert set(cov16.tolist()) <= set(refined.tolist())
+
+
+def test_cell_children_leaf_raises():
+    leaf = C.cell_encode(np.array([21.0]), np.array([52.2]), C.MAX_LEVEL)
+    try:
+        C.cell_children(leaf)
+        assert False, "expected ValueError for leaf cells"
+    except ValueError:
+        pass
+
+
+def test_min_cell_edge_is_true_s2_min_width():
+    # the bound must not exceed the true quadratic-projection minimum
+    # width (2*sqrt(2)/3 * 2^-level radians), attained at face corners
+    for lvl in (10, 16, 19):
+        assert C.min_cell_edge_meters(lvl) <= 6371008.8 * (2 * np.sqrt(2) / 3) * 2.0**-lvl * 1.0000001

@@ -103,3 +103,48 @@ def test_pip_join_salted_equals_plain(spark):
     ).select("pid", "building_id").toPandas()
     key = lambda d: sorted(map(tuple, d.to_numpy()))
     assert key(plain) == key(salted)
+
+
+def test_knn_join_exact_at_face_corner(spark):
+    """Regression (ADVICE r1): the min-cell-width bound must hold at cube-face
+    corners, where quadratic-projection cells are narrowest. Points straddle
+    the face-0/1/2 corner (lon 45, lat atan(1/sqrt(2)) = 35.2644), d_max in
+    the top band of the level the sizing rule picks."""
+    ids = np.arange(300)
+    q = pd.DataFrame({
+        "pid": ids,
+        "lon": 45.0 + (S.h01(ids, 700) - 0.5) * 0.004,
+        "lat": 35.2644 + (S.h01(ids, 701) - 0.5) * 0.003,
+    })
+    c = pd.DataFrame({
+        "cid": ids,
+        "c_lon": 45.0 + (S.h01(ids, 702) - 0.5) * 0.004,
+        "c_lat": 35.2644 + (S.h01(ids, 703) - 0.5) * 0.003,
+    })
+    from osm_addr_tools_spark.functions import cells as C
+    # 95 m sits between the TRUE level-16 min width (91.7 m) and the old
+    # over-estimated bound (101.8 m): the pre-fix sizing picked level 16
+    # here and could miss corner-area neighbors; the fix picks 15.
+    d_max = 95.0
+    assert C.level_for_max_distance(d_max) == 15
+    got = (
+        knn_join(
+            spark.createDataFrame(q), spark.createDataFrame(c),
+            query_id="pid", cand_id="cid", d_max_m=d_max, k=1,
+        )
+        .select("pid", "cid")
+        .toPandas()
+    )
+    d = G.haversine_np(
+        q.lon.to_numpy()[:, None], q.lat.to_numpy()[:, None],
+        c.c_lon.to_numpy()[None, :], c.c_lat.to_numpy()[None, :],
+    )
+    want = {}
+    for i in range(len(q)):
+        within = np.flatnonzero(d[i] <= d_max)
+        if len(within):
+            j = within[np.lexsort((c.cid.to_numpy()[within], d[i][within]))][0]
+            want[int(q.pid[i])] = int(c.cid[j])
+    got_map = dict(zip(got.pid, got.cid))
+    assert got_map == want
+    assert len(want) > 10  # the scenario actually exercises matches
