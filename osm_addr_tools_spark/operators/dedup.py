@@ -36,9 +36,6 @@ from osm_addr_tools_spark.functions.text import _WORD_RE
 # deterministic hashing helpers
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """64-bit hashes of word k-shingles (md5-based, deterministic)."""
     words = [w.lower() for w in _WORD_RE.findall(text or "")]
@@ -56,13 +53,6 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         dtype=np.uint64,
     )
     return out
-
-
-def _perm_params(num_perm: int, seed: int = 42):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    return a, b
 
 
 # ---------------------------------------------------------------------------
@@ -121,20 +111,27 @@ def ngram_jaccard_pairs(
     explode(shingles) → self-join on shingle → |A∩B| per pair → exact
     jaccard from per-doc shingle counts. ``stop_shingle_df`` drops shingles
     appearing in more rows than the cap (boilerplate n-grams — the hot-key
-    guard; a pair sharing ONLY stop shingles is below any useful threshold
-    anyway at that document frequency).
+    guard); the jaccard is exact over the POST-filter shingle sets: per-doc
+    counts na/nb are taken after the stop-shingle anti-join, so removed
+    shingles leave both the intersection and the union consistently
+    (counting them only in na/nb biased jaccard downward — ADVICE r1).
+    Shingle sets larger than the UDF's ``max_shingles`` cap (512) keep the
+    512 smallest hashes — above the cap the measure is bottom-k-sketch
+    Jaccard, not exact (documented trade-off for bounded row width).
     """
     sh = df.select(
         F.col(id_col).alias("_id"), shingle_udf(k)(F.col(text_col)).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
-    sh = sh.where(F.col("_n") > 0)
-    ex = sh.select("_id", "_n", F.explode("_sh").alias("_g"))
+    ).where(F.size("_sh") > 0)
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
     hot = (
         ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") > stop_shingle_df)
         .select("_g")
     )
     ex = ex.join(F.broadcast(hot), "_g", "left_anti")
+    # per-doc sizes of the post-filter sets (one partial-agg shuffle on id)
+    cnt = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ex = ex.join(cnt, "_id")
     a = ex.select(F.col("_id").alias("a"), F.col("_n").alias("na"), "_g")
     b = ex.select(F.col("_id").alias("b"), F.col("_n").alias("nb"), "_g")
     inter = (
@@ -156,8 +153,30 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche 64-bit bijection."""
+    x = x * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def minhash_udf(k: int = 5, num_perm: int = 64, seed: int = 42):
-    a, b = _perm_params(num_perm, seed)
+    """MinHash signatures via ``num_perm`` seeded 64-bit mixes.
+
+    Hash family: sig_i = min over shingles of mix64(h ^ seed_i), where
+    mix64 is the splitmix64 finalizer (a bijection, so each seeded mix is
+    a fixed pseudo-random permutation of the 64-bit shingle space — the
+    practical MinHash construction; we do NOT claim a universal family).
+    Replaces an earlier (a*x+b) mod M61 variant whose uint64 multiply
+    silently wrapped mod 2^64 before the Mersenne reduction (ADVICE r1),
+    and vectorizes the whole signature as ONE (n_shingles × num_perm)
+    outer op per doc instead of a per-permutation Python loop.
+    """
+    seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64) + np.uint64(seed))
 
     @pandas_udf("array<long>")
     def mh(text: pd.Series) -> pd.Series:
@@ -165,15 +184,10 @@ def minhash_udf(k: int = 5, num_perm: int = 64, seed: int = 42):
         for t in text:
             h = _shingle_hashes(t, k)
             if h.size == 0:
-                out.append([0] * len(a))
+                out.append([0] * num_perm)
                 continue
-            # (a*x + b) mod mersenne61, vectorized (num_perm × n_shingles)
-            hv = (h % np.uint64(_MERSENNE)).astype(np.uint64)
-            sig = np.empty(len(a), dtype=np.int64)
-            for i in range(len(a)):
-                vals = (a[i] * hv + b[i]) % np.uint64(_MERSENNE)
-                sig[i] = np.int64(vals.min())
-            out.append(sig.tolist())
+            vals = _mix64(h[:, None] ^ seeds[None, :])
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return mh
@@ -280,21 +294,36 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fp_col: str | None = None,
 ) -> DataFrame:
-    """Pairs with simhash hamming distance ≤ max_hamming (a < b).
-
-    Pigeonhole banding: with 4 16-bit chunks, any pair at distance ≤ 3
-    agrees on at least one chunk → candidates via equi-join on (chunk id,
-    chunk value); exact popcount filter after.
+    """Pairs with simhash hamming distance ≤ max_hamming (a < b). EXACT
+    (100% recall): the fingerprint is split into ``max_hamming + 1``
+    chunks, so by pigeonhole any pair within the distance agrees on at
+    least one whole chunk → candidates via equi-join on (chunk id, chunk
+    value); exact popcount filter after. (r1 shipped a fixed 4-chunk split
+    that only guaranteed hamming ≤ 3 while the registered query asked for
+    6 — pairs with differing bits spread across all 4 chunks were silently
+    dropped; gated now by a planted hamming-5 test.)
     """
-    fp = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_fp"))
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    if fp_col is not None:
+        fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    else:
+        fp = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_fp"))
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("_fp"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                F.shiftrightunsigned(F.col("_fp"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     b = fp.withColumn("_c", F.explode(chunks)).select(

@@ -177,3 +177,42 @@ def test_bruteforce_topk_matches_numpy(spark, emb):
         expect = set(cp.cand_id.to_numpy()[order])
         have = set(got[got.vec_id == vid].cand_id)
         assert have == expect, vid
+
+
+def test_simhash_pigeonhole_recall_at_hamming5(spark):
+    """Regression (VERDICT r1 'What's wrong' #1): a pair at hamming 5 whose
+    differing bits spread across all four 16-bit quarters shared no chunk
+    under the old fixed 4x16 banding and was silently dropped at
+    max_hamming=6. The banding must size chunks to max_hamming+1."""
+    base = 0x0123456789ABCDEF
+    flipped = base
+    for bit in (2, 18, 34, 50, 60):  # one+ flip in every 16-bit quarter
+        flipped ^= 1 << bit
+    fps = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, -42)], "doc_id long, fp long"
+    )
+    got = D.simhash_pairs(fps, max_hamming=6, fp_col="fp").toPandas()
+    assert set(zip(got.a, got.b)) == {(1, 2)}
+    assert got.hamming.tolist() == [5]
+    # below the distance: not reported
+    none = D.simhash_pairs(fps, max_hamming=4, fp_col="fp").toPandas()
+    assert len(none) == 0
+
+
+def test_ngram_jaccard_counts_post_stopfilter(spark):
+    """na/nb must be sizes of the POST-stop-filter sets: with a boilerplate
+    shingle shared by every doc removed, two docs identical except for that
+    boilerplate must still score jaccard 1.0."""
+    boiler = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " alpha beta gamma delta epsilon zeta"),
+            (3, boiler + " one two three four five six"),
+            (4, boiler + " seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, k=5, stop_shingle_df=3).toPandas()
+    got = {(r.a, r.b): r.jaccard for r in pairs.itertuples()}
+    assert (1, 2) in got and abs(got[(1, 2)] - 1.0) < 1e-9
