@@ -85,7 +85,12 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
     from osm_addr_tools_spark.sources import synth as S
 
     def conflate_join():
-        """Headline: the conflation join phase over stored inputs."""
+        """Headline: the conflation join phase over stored inputs.
+
+        pin_inputs=False — the inputs are already parquet; re-scanning
+        columnar storage per evidence join keeps the whole conflation ONE
+        job (no per-job serial floor; that floor capped round-1 N→4N
+        scaling efficiency at 0.704)."""
         addrs = spark.read.parquet(f"{base}/addrs").withColumn(
             "geocoded", F.lit(True)
         )
@@ -95,6 +100,7 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
             spark.read.parquet(f"{base}/buildings"),
             spark.read.parquet(f"{base}/existing"),
             salt=True,
+            pin_inputs=False,
             hot_threshold=100_000,
             rows_per_task=50_000,
         )

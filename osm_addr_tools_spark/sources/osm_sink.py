@@ -40,12 +40,46 @@ def _node_xml(el_id: int, lon: float, lat: float, tags: dict) -> str:
     )
 
 
+N_ID_BUCKETS = 1 << 10
+
+
+def _with_negative_ids(df: DataFrame) -> DataFrame:
+    """Deterministic dense negative ids WITHOUT a global single-partition
+    window (VERDICT r1 #3 — ``Window.orderBy`` with no partitionBy pulls
+    every row through one task; at 10^12 docs that is THE sink bottleneck).
+
+    Two-pass shape: rows hash into ``N_ID_BUCKETS`` deterministic buckets
+    (xxhash64 of the sort key — independent of physical partitioning);
+    row_number runs per-bucket (bounded window partitions), and a tiny
+    per-bucket count aggregate (≤ N_ID_BUCKETS rows, driver cumsum,
+    broadcast back) turns per-bucket ranks into globally dense ids. The
+    ordering is (bucket, addr_key, url) — deterministic, not globally
+    lexicographic; OsmChange consumers only need stable uniqueness.
+    """
+    spark = df.sparkSession
+    bucket = F.pmod(F.xxhash64("addr_key", "url"), F.lit(N_ID_BUCKETS)).cast("int")
+    df = df.withColumn("_bucket", bucket)
+    counts = (
+        df.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_bucket")
+        .collect()  # bounded: ≤ N_ID_BUCKETS tiny rows (metadata, not data)
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r._bucket, acc))
+        acc += r._n
+    off = spark.createDataFrame(offsets, "_bucket int, _off long")
+    w = Window.partitionBy("_bucket").orderBy("addr_key", "url")
+    return (
+        df.join(F.broadcast(off), "_bucket")
+        .withColumn("new_id", -(F.col("_off") + F.row_number().over(w)))
+        .drop("_bucket", "_off")
+    )
+
+
 def matches_to_osmchange(matches: DataFrame) -> DataFrame:
     """matches → (kind string, xml string) fragments, one row per edit."""
-    w = Window.orderBy("addr_key", "url")  # deterministic negative ids
-    df = matches.where(F.col("match_kind") != "duplicate").withColumn(
-        "new_id", -F.row_number().over(w)
-    )
+    df = _with_negative_ids(matches.where(F.col("match_kind") != "duplicate"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -89,8 +123,9 @@ def write_osmchange(matches: DataFrame, path: str) -> None:
 
 def osmchange_document(matches: DataFrame) -> str:
     """Small-output convenience: the full OsmChange document as one string
-    (test/fixture scale only — collects the fragments)."""
-    rows = matches_to_osmchange(matches).collect()
+    (test/fixture scale only — collects the fragments; canonical order is
+    the sorted fragment text, independent of partition arrival order)."""
+    rows = sorted(matches_to_osmchange(matches).collect(), key=lambda r: r.xml)
     create = "".join(r.xml for r in rows if r.kind == "create")
     modify = "".join(r.xml for r in rows if r.kind == "modify")
     return (

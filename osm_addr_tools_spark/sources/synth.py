@@ -244,6 +244,17 @@ def gazetteer_pdf(a_ids, n_pages: int) -> pd.DataFrame:
 
 # --- existing OSM-style address nodes ------------------------------------
 
+def _typo_street(canon: str) -> str:
+    """Deterministic near-miss street: ASCII-fold diacritics; if the name
+    has none, drop the last character. Similarity to the canonical form
+    stays ≥ 0.8 (F3 fuzzy-match target) while the normalized key differs."""
+    folded = canon.translate(_FOLD)
+    return folded if folded != canon else canon[:-1]
+
+
+_FOLD = str.maketrans("ąćęłńóśźż", "acelnoszz")
+
+
 def existing_pdf(a_ids, n_pages: int) -> pd.DataFrame:
     """Existing nodes derived from the universe:
 
@@ -253,6 +264,11 @@ def existing_pdf(a_ids, n_pages: int) -> pd.DataFrame:
                       target). node_id = 10a+1.
     0.35 ≤ h5 < .45 → node ~5 m north with a DIFFERENT, out-of-universe
                       key (kNN 'nearest' target). node_id = 10a+2.
+    0.45 ≤ h5 < .50 → node with a TYPO street (diacritics folded / last
+                      char dropped): same city+housenumber, different
+                      normalized key — the F3 fuzzy-street target; h11 <
+                      0.5 → carries postcode (fuzzy-duplicate) else not
+                      (fuzzy-update). node_id = 10a+4.
     """
     uni = addr_universe_pdf(a_ids, n_pages)
     a = uni["addr_id"].to_numpy()
@@ -294,6 +310,22 @@ def existing_pdf(a_ids, n_pages: int) -> pd.DataFrame:
             "addr:housenumber": str(5000 + aid % 999),
         }
         rows.append((aid * 10 + 2, lon, lat + 5.0 / 111320.0, tags))
+
+    typo = uni[(h5 >= 0.45) & (h5 < 0.50)]
+    typo_full = h11[(h5 >= 0.45) & (h5 < 0.50)] < 0.5
+    for aid, canon, city, hn_raw, pc, lon, lat, is_full in zip(
+        typo["addr_id"].tolist(), typo["street_canon"], typo["city"],
+        typo["hn_raw"], typo["postcode"],
+        typo["lon"].tolist(), typo["lat"].tolist(), typo_full,
+    ):
+        tags = {
+            "addr:city": city,
+            "addr:street": _typo_street(canon),
+            "addr:housenumber": hn_raw,
+        }
+        if is_full:
+            tags["addr:postcode"] = pc
+        rows.append((aid * 10 + 4, lon, lat, tags))
 
     return pd.DataFrame(rows, columns=["node_id", "lon", "lat", "tags"])
 

@@ -26,6 +26,7 @@ from osm_addr_tools_spark.functions import text as T
 from osm_addr_tools_spark.sources import synth as S
 
 D_MAX_M = 10.0
+FUZZY_TAU = 0.75
 
 
 def oracle_matches(n_pages: int) -> pd.DataFrame:
@@ -48,8 +49,22 @@ def oracle_matches(n_pages: int) -> pd.DataFrame:
         pd.Series([t.get("addr:place", "") for t in ex_tags]),
         pd.Series([t.get("addr:housenumber", "") for t in ex_tags]),
     )
+    ex_city_norm = pd.Series(
+        [t.get("addr:city", "") for t in ex_tags]
+    ).str.strip().str.lower()
+    ex_street_norm = N.norm_street(
+        pd.Series(
+            [t.get("addr:street", "") or t.get("addr:place", "") for t in ex_tags]
+        )
+    )
+    ex_hn_norm = N.norm_housenumber(
+        pd.Series([t.get("addr:housenumber", "") for t in ex_tags])
+    )
     ex = ex.assign(
         addr_key=ex_key.values,
+        city_norm=ex_city_norm.values,
+        street_norm=ex_street_norm.values,
+        hn_norm=ex_hn_norm.values,
         has_postcode=[("addr:postcode" in t) for t in ex_tags],
     )
     # one deterministic node per key: min node_id
@@ -57,6 +72,10 @@ def oracle_matches(n_pages: int) -> pd.DataFrame:
         ex.sort_values("node_id").groupby("addr_key", as_index=False).first()
     )
     best_by_key = {r.addr_key: r for r in ex_best.itertuples()}
+    # fuzzy pool: every node grouped by (city_norm, hn_norm)
+    fuzzy_pool: dict[tuple, list] = {}
+    for r in ex.itertuples():
+        fuzzy_pool.setdefault((r.city_norm, r.hn_norm), []).append(r)
 
     bl = pd.concat(
         [S.buildings_pdf(ids, n_pages), S.special_buildings_pdf()],
@@ -105,6 +124,36 @@ def oracle_matches(n_pages: int) -> pd.DataFrame:
                          "matched_ref": int(hit.node_id), "dist_m": dist}
                     )
                 continue
+            # F3 fuzzy street tie-breaker: same city+hn, similar street
+            pool = [
+                p
+                for p in fuzzy_pool.get((city_norm, hn_norm), [])
+                if p.street_norm != street_norm
+            ]
+            if pool:
+                ratios = N.street_similarity(
+                    pd.Series([street_norm] * len(pool)),
+                    pd.Series([p.street_norm for p in pool]),
+                )
+                cands = [
+                    (float(-r), int(p.node_id), p)
+                    for r, p in zip(ratios, pool)
+                    if r >= FUZZY_TAU
+                ]
+                if cands:
+                    cands.sort(key=lambda c: (c[0], c[1]))
+                    p = cands[0][2]
+                    dist = float(G.haversine_np(lon, lat, p.lon, p.lat))
+                    kind = (
+                        "duplicate"
+                        if (p.has_postcode or cand["postcode"] is None)
+                        else "update"
+                    )
+                    rows.append(
+                        {**base, "match_kind": kind,
+                         "matched_ref": int(p.node_id), "dist_m": dist}
+                    )
+                    continue
             containing = [
                 bid
                 for bid, rings in unaddressed

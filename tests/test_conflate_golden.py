@@ -55,6 +55,17 @@ def test_conflate_matches_oracle(spark, golden):
     _assert_matches_equal(got, golden)
     # scenario exercises every match kind
     assert set(golden.match_kind) == {"duplicate", "update", "attach", "nearest", "create"}
+    # ... including the F3 fuzzy-street path (typo nodes have id = 10a+4):
+    fuzzy = golden[
+        golden.match_kind.isin(["duplicate", "update"])
+        & (golden.matched_ref.fillna(0).astype("int64") % 10 == 4)
+    ]
+    assert len(fuzzy) > 0, "golden scenario must exercise the fuzzy tie-breaker"
+    got_fuzzy = got[
+        got.match_kind.isin(["duplicate", "update"])
+        & (got.matched_ref.fillna(0).astype("int64") % 10 == 4)
+    ]
+    assert len(got_fuzzy) == len(fuzzy)
 
 
 def test_conflate_deterministic_under_parallelism(spark, golden):

@@ -48,3 +48,28 @@ def test_osmchange_wellformed_and_routed(spark, matches):
 
 def test_osmchange_deterministic(spark, matches):
     assert osmchange_document(matches) == osmchange_document(matches.repartition(7))
+
+
+def test_negative_id_assignment_is_distributed(spark, matches):
+    """VERDICT r1 #3: the id assignment must not funnel all rows through a
+    single-partition Exchange (global no-partition window)."""
+    from osm_addr_tools_spark.sources.osm_sink import matches_to_osmchange
+
+    plan = matches_to_osmchange(matches)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_negative_ids_dense_and_deterministic(spark, matches):
+    from osm_addr_tools_spark.sources.osm_sink import _with_negative_ids
+    import pyspark.sql.functions as F
+
+    df = _with_negative_ids(matches.where(F.col("match_kind") != "duplicate"))
+    ids = sorted(-r.new_id for r in df.select("new_id").collect())
+    assert ids == list(range(1, len(ids) + 1))  # dense 1..n
+    ids2 = sorted(
+        -r.new_id
+        for r in _with_negative_ids(
+            matches.where(F.col("match_kind") != "duplicate").repartition(5)
+        ).select("new_id").collect()
+    )
+    assert ids == ids2
