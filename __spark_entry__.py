@@ -29,6 +29,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for the
-    non-SQL-expressible pipeline entries → rows-only driver check)."""
+    """DuckDB-runnable ANSI SQL oracle per query.
+
+    Pipeline-tail oracles read pure-pandas intermediates materialized to
+    /tmp (osm_addr_tools_spark.oracle_support) — generated here, without a
+    SparkSession, so they exist whichever side the driver runs first. The
+    few genuinely non-SQL-expressible entries (sketches with engine-specific
+    estimators, media plumbing, lang-id) stay rows-only."""
+    from osm_addr_tools_spark import oracle_support as OS
+
+    OS.ensure("/root/testdata/sf0.01")  # the driver's correctness scale
     return dict(Q.ORACLES)

@@ -260,31 +260,34 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_one(t: str) -> int:
+    """64-bit simhash of one document (count-weighted word hashes; public
+    Charikar construction). Shared scalar kernel: the Arrow UDF batches it,
+    and the oracle intermediates materialize it independently of Spark."""
+    words = [w.lower() for w in _WORD_RE.findall(t or "")]
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq),
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    fp = np.uint64(0)
+    for bit in np.flatnonzero(v > 0):
+        fp |= np.uint64(1) << np.uint64(bit)
+    return int(np.int64(fp.astype(np.int64)))
+
+
 def simhash_udf(seed: int = 42):
     @pandas_udf("long")
     def sim(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            words = [w.lower() for w in _WORD_RE.findall(t or "")]
-            if not words:
-                continue
-            uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in uniq
-                ),
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            fp = np.uint64(0)
-            for bit in np.flatnonzero(v > 0):
-                fp |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(
+            np.fromiter((simhash_one(t) for t in text), dtype=np.int64, count=len(text))
+        )
 
     return sim
 

@@ -1,0 +1,272 @@
+"""Materialized intermediates for the DuckDB pipeline-tail oracles.
+
+The full extract→conflate pipeline, the dedup families and the ANN path
+contain steps DuckDB cannot express (HTML extraction, difflib street
+similarity, S2 covers, simhash/minhash/hyperplane projections). VERDICT r1
+asked that their relational TAILS — the joins, windows and aggregations
+that actually run distributed — still be hash-verified by the driver's
+DuckDB gate. This module deterministically materializes the post-kernel
+intermediates to parquet with PURE pandas/NumPy (no Spark), so the SQL
+oracles can join/rank over them while the registered Spark queries run the
+REAL end-to-end pipeline from raw inputs. Any Spark-side defect — Arrow
+batching, explode, join/window/precedence logic, distribution — surfaces
+as a hash mismatch; only the scalar kernels themselves are shared (each is
+pinned by its own byte-level unit fixtures, same policy as
+tests/oracle.py).
+
+Everything is a pure function of (sf_dir); generation is idempotent via a
+versioned marker file, cheap at sf0.01 scale, and safe to call from both
+``queries()`` callables and ``oracle_sql()`` (whichever the driver runs
+first creates the files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+# bump to invalidate previously materialized intermediates
+_VERSION = 1
+
+EMB_DIM = 64
+ANN_N_PLANES = 6
+ANN_N_PROBES = 4
+TILE_LEVEL = 16
+
+
+def oracle_dir(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/spark_graft_oracle_{base}"
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _n_pages(sf_dir: str) -> int:
+    return max(100, int(20000 * _sf_of(sf_dir)))
+
+
+def _extracted_pdf(n: int) -> pd.DataFrame:
+    """Post-asof, post-X1/X2/F1-F4 address candidates (pure pandas)."""
+    from osm_addr_tools_spark.functions import normalize as N
+    from osm_addr_tools_spark.functions import text as T
+    from osm_addr_tools_spark.sources import synth as S
+
+    ids = np.arange(2 * n)
+    pages = S.pages_pdf(ids, n)
+    pages = pages.sort_values("warc_ts").groupby("url", as_index=False).last()
+    rows = []
+    for page in pages.itertuples():
+        for cand in T.parse_addresses_one(page.text):
+            rows.append((page.url, cand["street"], cand["housenumber"],
+                         cand["postcode"], cand["city"]))
+    pdf = pd.DataFrame(rows, columns=["url", "street", "housenumber", "postcode", "city"])
+    pdf["street_norm"] = N.norm_street(pdf["street"])
+    pdf["hn_norm"] = N.norm_housenumber(pdf["housenumber"])
+    pdf["city_norm"] = pdf["city"].fillna("").str.strip().str.lower()
+    pdf["addr_key"] = pdf["city_norm"] + "|" + pdf["street_norm"] + "|" + pdf["hn_norm"]
+    return pdf
+
+
+def _existing_keyed_pdf(n: int) -> pd.DataFrame:
+    from osm_addr_tools_spark.functions import normalize as N
+    from osm_addr_tools_spark.sources import synth as S
+
+    ex = S.existing_pdf(np.arange(2 * n), n)
+    tags = ex["tags"].tolist()
+    pdf = pd.DataFrame(
+        {
+            "node_id": ex["node_id"].to_numpy(),
+            "lon": ex["lon"].to_numpy(),
+            "lat": ex["lat"].to_numpy(),
+            "city_norm": pd.Series([t.get("addr:city", "") for t in tags])
+            .str.strip().str.lower(),
+            "street_norm": N.norm_street(
+                pd.Series([t.get("addr:street", "") or t.get("addr:place", "") for t in tags])
+            ),
+            "hn_norm": N.norm_housenumber(
+                pd.Series([t.get("addr:housenumber", "") for t in tags])
+            ),
+            "has_postcode": [("addr:postcode" in t) for t in tags],
+        }
+    )
+    pdf["addr_key"] = pdf["city_norm"] + "|" + pdf["street_norm"] + "|" + pdf["hn_norm"]
+    return pdf
+
+
+def _street_sim_pdf(extracted: pd.DataFrame, existing: pd.DataFrame) -> pd.DataFrame:
+    """F3 ratio table over the distinct street_norm cross product (difflib
+    is not SQL-expressible; the SQL oracle joins this table instead)."""
+    from osm_addr_tools_spark.functions import normalize as N
+
+    sa = sorted(set(extracted["street_norm"]))
+    sb = sorted(set(existing["street_norm"]))
+    pairs = [(a, b) for a in sa for b in sb]
+    pdf = pd.DataFrame(pairs, columns=["sa", "sb"])
+    pdf["ratio"] = N.street_similarity(pdf["sa"], pdf["sb"]).to_numpy()
+    return pdf
+
+
+def _buildings_bbox_pdf(n: int) -> pd.DataFrame:
+    """Axis-aligned bboxes + addressed flag. The synthetic universe places
+    every address outside the bboxes of the non-rectangular stress
+    buildings, so bbox PIP == exact PIP here (asserted at generation)."""
+    from osm_addr_tools_spark.sources import synth as S
+
+    bl = pd.concat(
+        [S.buildings_pdf(np.arange(2 * n), n), S.special_buildings_pdf()],
+        ignore_index=True,
+    )
+    rows = []
+    for r in bl.itertuples():
+        rings = json.loads(r.rings_json)
+        outer = np.asarray(rings[0], dtype=np.float64)
+        rows.append(
+            (
+                int(r.building_id),
+                "addr:housenumber" in r.tags,
+                float(outer[:, 0].min()), float(outer[:, 0].max()),
+                float(outer[:, 1].min()), float(outer[:, 1].max()),
+                int(r.building_id) >= 10**9,  # non-rectangular stress shapes
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["building_id", "addressed", "min_lon", "max_lon", "min_lat", "max_lat", "special"],
+    )
+
+
+def _covers_pdf(n: int, level: int) -> pd.DataFrame:
+    from osm_addr_tools_spark.functions import cells as C
+    from osm_addr_tools_spark.sources import synth as S
+
+    bl = pd.concat(
+        [S.buildings_pdf(np.arange(2 * n), n), S.special_buildings_pdf()],
+        ignore_index=True,
+    )
+    fids, tiles = [], []
+    for r in bl.itertuples():
+        rings = json.loads(r.rings_json)
+        for t in C.cover_polygon(rings, level).tolist():
+            fids.append(int(r.building_id))
+            tiles.append(t)
+    return pd.DataFrame({"feature_id": fids, "tile_id": tiles})
+
+
+def _planted_docs(sf_dir: str) -> pd.DataFrame:
+    """documents ∪ the same deterministic plants queries._docs_with_planted
+    builds in Spark."""
+    d = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    near = d[d.doc_id % 10 == 0].copy()
+    near["doc_id"] += 1_000_000
+    near["text"] += " trailing mutation"
+    exact = d[d.doc_id % 10 == 5].copy()
+    exact["doc_id"] += 2_000_000
+    return pd.concat([d, near, exact], ignore_index=True)
+
+
+def _simhash_pdf(docs: pd.DataFrame) -> pd.DataFrame:
+    from osm_addr_tools_spark.operators.dedup import simhash_one
+
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].to_numpy(),
+            "fp": np.fromiter((simhash_one(t) for t in docs["text"]), dtype=np.int64,
+                              count=len(docs)),
+        }
+    )
+
+
+def _shingles_pdf(docs: pd.DataFrame, k: int = 5, cap: int = 512) -> pd.DataFrame:
+    from osm_addr_tools_spark.operators.dedup import _shingle_hashes
+
+    ids, gs = [], []
+    for r in docs.itertuples():
+        h = np.sort(_shingle_hashes(r.text, k))[:cap].astype(np.int64)
+        ids.extend([int(r.doc_id)] * len(h))
+        gs.extend(h.tolist())
+    return pd.DataFrame({"doc_id": ids, "g": gs})
+
+
+def _ann_buckets(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Hyperplane buckets for the registered ANN query: queries = vec_id %
+    50 == 0 with multi-probe flips, candidates = the rest (same plane
+    construction as operators.similarity.hyperplane_bucket_udf)."""
+    e = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((EMB_DIM, ANN_N_PLANES))
+    bits = (m @ planes) > 0
+    bucket = (bits * (1 << np.arange(ANN_N_PLANES))).sum(axis=1).astype(np.int64)
+    vid = e["vec_id"].to_numpy()
+    is_q = vid % 50 == 0
+    q_vid, q_b = vid[is_q], bucket[is_q]
+    probes = [q_b] + [q_b ^ (1 << i) for i in range(min(ANN_N_PLANES, ANN_N_PROBES - 1))]
+    qb = pd.DataFrame(
+        {
+            "vec_id": np.tile(q_vid, len(probes)),
+            "bucket": np.concatenate(probes),
+        }
+    )
+    cb = pd.DataFrame({"cand_id": vid[~is_q], "bucket": bucket[~is_q]})
+    return qb, cb
+
+
+def ensure(sf_dir: str) -> str:
+    """Idempotently materialize every oracle intermediate for ``sf_dir``;
+    returns the directory. Pure pandas — callable without a SparkSession."""
+    out = oracle_dir(sf_dir)
+    marker = os.path.join(out, f"_done_v{_VERSION}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n = _n_pages(sf_dir)
+
+    extracted = _extracted_pdf(n)
+    existing = _existing_keyed_pdf(n)
+    extracted.to_parquet(os.path.join(out, "extracted.parquet"), index=False)
+    existing.to_parquet(os.path.join(out, "existing_keyed.parquet"), index=False)
+
+    from osm_addr_tools_spark.sources import synth as S
+
+    gaz = S.gazetteer_pdf(np.arange(2 * n), n).rename(columns={"city": "city_norm"})
+    gaz.to_parquet(os.path.join(out, "gazetteer.parquet"), index=False)
+
+    _street_sim_pdf(extracted, existing).to_parquet(
+        os.path.join(out, "street_sim.parquet"), index=False
+    )
+
+    bbox = _buildings_bbox_pdf(n)
+    # bbox PIP == exact PIP requires no address inside a special bbox
+    gx = gaz.merge(extracted, on=["city_norm", "street_norm", "hn_norm"])
+    sp = bbox[bbox.special]
+    for r in sp.itertuples():
+        inside = (
+            (gx.lon > r.min_lon) & (gx.lon < r.max_lon)
+            & (gx.lat > r.min_lat) & (gx.lat < r.max_lat)
+        )
+        assert not inside.any(), f"address inside special building {r.building_id} bbox"
+    bbox.drop(columns=["special"]).to_parquet(
+        os.path.join(out, "buildings_bbox.parquet"), index=False
+    )
+
+    _covers_pdf(n, TILE_LEVEL).to_parquet(os.path.join(out, "covers.parquet"), index=False)
+
+    docs = _planted_docs(sf_dir)
+    _simhash_pdf(docs).to_parquet(os.path.join(out, "simhash_fp.parquet"), index=False)
+    _shingles_pdf(docs).to_parquet(os.path.join(out, "shingles.parquet"), index=False)
+
+    qb, cb = _ann_buckets(sf_dir)
+    qb.to_parquet(os.path.join(out, "ann_q_buckets.parquet"), index=False)
+    cb.to_parquet(os.path.join(out, "ann_c_buckets.parquet"), index=False)
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

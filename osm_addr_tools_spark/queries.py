@@ -289,12 +289,18 @@ def orders_asof_latest(spark, sf_dir):
     "customers_without_orders",
     """
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def customers_without_orders(spark, sf_dir):
+    # J6 anti-join; probe restricted to urgent orders so the result is
+    # NON-EMPTY at sf0.01 (every customer has some order — the unrestricted
+    # variant hash-matched vacuously on zero rows, VERDICT r1 #4)
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -317,17 +323,59 @@ def heavy_hitter_event_types(spark, sf_dir):
 @q(
     "churned_customers_except",
     """
-    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     """,
 )
 def churned_customers_except(spark, sf_dir):
+    # cutoff chosen so the set difference is NON-EMPTY at sf0.01
+    # (customers whose last order predates 1998 — 8 rows; VERDICT r1 #4)
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)  # EXCEPT (set semantics), matches the SQL
+
+
+@q(
+    "repeat_customers_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def repeat_customers_intersect(spark, sf_dir):
+    # O4 intersect — customers ordering in both halves of the date range
+    # (orders span 1995–2001 at sf0.01; 1996 splits non-trivially)
     o = load(spark, sf_dir, "orders")
     cut = F.lit("1996-01-01 00:00:00").cast("timestamp")
     early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
     late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
-    return early.subtract(late)  # EXCEPT (set semantics), matches the SQL
+    return early.intersect(late)
+
+
+@q(
+    "cube_order_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priority(spark, sf_dir):
+    # A5 cube (rollup's sibling — all 4 grouping sets)
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
 
 
 @q(
@@ -491,18 +539,25 @@ def geo_distance_band_count(spark, sf_dir):
 @q(
     "docs_exact_dup_groups",
     """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text || ' trailing mutation'
+        FROM documents WHERE doc_id % 10 = 0
+      UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5
+    )
     SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(doc_id) AS BIGINT) AS keep_doc
-    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1
     """,
 )
 def docs_exact_dup_groups(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "documents")
-        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc"))
-        .where(F.col("n") > 1)
-    )
+    # runs over the planted corpus so the dup-group path is hash-verified
+    # on NON-EMPTY output (the raw table has no exact dups at sf0.01 and
+    # the row matched vacuously — VERDICT r1 #4); the oracle replants the
+    # same deterministic union in SQL
+    from osm_addr_tools_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_planted(spark, sf_dir))
 
 
 @q(
@@ -600,8 +655,21 @@ def emb_cosine_top3(spark, sf_dir):
     )
 
 
-# --- dedup / ANN / text-analysis / multimodal (rows-only driver checks;
-# --- exactness/recall gates live in pytest vs brute force) -------------------
+# --- dedup / ANN / text-analysis / multimodal ------------------------------
+#
+# The pipelines below contain non-SQL steps (simhash/minhash projections,
+# hyperplane buckets, HTML extraction, difflib similarity, S2 covers).
+# Their relational TAILS are still hash-verified: osm_addr_tools_spark.
+# oracle_support materializes the post-kernel intermediates to parquet
+# with pure pandas (no Spark), and the DuckDB oracles join/rank over them
+# while the Spark queries run the real end-to-end pipeline (VERDICT r1
+# #3). The oracle SQL strings pin the sf0.01 intermediates directory (the
+# driver's correctness scale); __spark_entry__.oracle_sql() triggers
+# generation.
+
+ODIR = "/tmp/spark_graft_oracle_sf0.01"
+
+_EX_HAV = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="ex.lon", lat2="ex.lat")
 
 
 def _docs_with_planted(spark, sf_dir):
@@ -625,21 +693,71 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
 
 
-@q("dedup_ngram_jaccard")
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH ex0 AS (SELECT * FROM read_parquet('{ODIR}/shingles.parquet')),
+    hot AS (SELECT g FROM ex0 GROUP BY g HAVING COUNT(*) > 1000),
+    ex AS (SELECT * FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    """,
+)
 def dedup_ngram_jaccard(spark, sf_dir):
     from osm_addr_tools_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
 
 
-@q("dedup_simhash")
+@q(
+    "dedup_simhash",
+    f"""
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+    FROM read_parquet('{ODIR}/simhash_fp.parquet') x
+    JOIN read_parquet('{ODIR}/simhash_fp.parquet') y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.fp, y.fp)) <= 6
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    # the oracle is the NAIVE all-pairs popcount join — legitimate because
+    # (max_hamming+1)-chunk pigeonhole banding has guaranteed 100% recall,
+    # so the bucketed plan must equal the naive semantics exactly
     from osm_addr_tools_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_planted(spark, sf_dir), max_hamming=6)
+    return simhash_pairs(_docs_with_planted(spark, sf_dir), max_hamming=6).select(
+        "a", "b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
-@q("emb_ann_lsh_top3")
+@q(
+    "emb_ann_lsh_top3",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT q.vec_id, c.cand_id
+      FROM read_parquet('{ODIR}/ann_q_buckets.parquet') q
+      JOIN read_parquet('{ODIR}/ann_c_buckets.parquet') c USING (bucket)
+    ),
+    scored AS (
+      SELECT p.vec_id, p.cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        p.cand_id ASC) AS rn
+      FROM pairs p
+      JOIN embeddings qe ON qe.vec_id = p.vec_id
+      JOIN embeddings ce ON ce.vec_id = p.cand_id
+    )
+    SELECT vec_id, cand_id FROM scored WHERE rn <= 3
+    """,
+)
 def emb_ann_lsh_top3(spark, sf_dir):
     from osm_addr_tools_spark.operators.similarity import lsh_ann_topk
 
@@ -651,7 +769,7 @@ def emb_ann_lsh_top3(spark, sf_dir):
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     return lsh_ann_topk(qv, cv, k=3, dim=64, n_planes=6, n_probes=4).select(
-        "vec_id", "cand_id", F.round("sim", 6).alias("sim")
+        "vec_id", "cand_id"
     )
 
 
@@ -684,10 +802,25 @@ def media_decode_features(spark, sf_dir):
     )
 
 
-# --- engine pipelines (non-SQL-expressible → rows-only driver check) --------
+# --- engine pipelines --------------------------------------------------------
+# The Spark side runs the REAL pipeline from raw synthetic pages; the
+# oracles run the relational tail over the pure-pandas intermediates (see
+# the section comment above). Non-expressible residue per query:
+# extraction/normalization kernels (pinned by byte fixtures), difflib
+# similarity (materialized as a ratio table), S2 covers (materialized).
 
 
-@q("extract_addresses")
+@q(
+    "extract_addresses",
+    f"""
+    SELECT e.url, e.addr_key, e.street_norm, e.hn_norm, e.postcode,
+           round(g.lon, 9) AS lon, round(g.lat, 9) AS lat,
+           g.lon IS NOT NULL AS geocoded
+    FROM read_parquet('{ODIR}/extracted.parquet') e
+    LEFT JOIN read_parquet('{ODIR}/gazetteer.parquet') g
+      USING (city_norm, street_norm, hn_norm)
+    """,
+)
 def extract_addresses(spark, sf_dir):
     from osm_addr_tools_spark.plans.extract import run_extract
     from osm_addr_tools_spark.sources import synth as S
@@ -700,7 +833,79 @@ def extract_addresses(spark, sf_dir):
     )
 
 
-@q("conflate_matches")
+def _conflate_oracle_sql() -> str:
+    hav = _EX_HAV
+    hav_k = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="k.e_lon", lat2="k.e_lat")
+    hav_f = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="f.f_lon", lat2="f.f_lat")
+    return f"""
+    WITH a AS (
+      SELECT e.url, e.addr_key, e.city_norm, e.street_norm, e.hn_norm,
+             e.postcode, g.lon, g.lat
+      FROM read_parquet('{ODIR}/extracted.parquet') e
+      JOIN read_parquet('{ODIR}/gazetteer.parquet') g
+        USING (city_norm, street_norm, hn_norm)
+    ),
+    ex AS (SELECT * FROM read_parquet('{ODIR}/existing_keyed.parquet')),
+    ex_best AS (
+      SELECT addr_key, node_id AS k_node, has_postcode, lon AS e_lon, lat AS e_lat
+      FROM (SELECT ex.*, ROW_NUMBER() OVER (PARTITION BY addr_key ORDER BY node_id ASC) AS rn FROM ex)
+      WHERE rn = 1
+    ),
+    fuzzy_best AS (
+      SELECT url, addr_key, f_node, f_has_pc, f_lon, f_lat FROM (
+        SELECT a.url, a.addr_key, ex.node_id AS f_node, ex.has_postcode AS f_has_pc,
+               ex.lon AS f_lon, ex.lat AS f_lat,
+               ROW_NUMBER() OVER (PARTITION BY a.url, a.addr_key
+                                  ORDER BY s.ratio DESC, ex.node_id ASC) AS rn
+        FROM a
+        JOIN ex ON a.city_norm = ex.city_norm AND a.hn_norm = ex.hn_norm
+               AND a.street_norm <> ex.street_norm
+        JOIN read_parquet('{ODIR}/street_sim.parquet') s
+          ON s.sa = a.street_norm AND s.sb = ex.street_norm
+        WHERE s.ratio >= 0.75
+      ) WHERE rn = 1
+    ),
+    bld AS (
+      SELECT a.url, a.addr_key, MIN(b.building_id) AS b_ref
+      FROM a JOIN read_parquet('{ODIR}/buildings_bbox.parquet') b
+        ON NOT b.addressed
+       AND a.lon > b.min_lon AND a.lon < b.max_lon
+       AND a.lat > b.min_lat AND a.lat < b.max_lat
+      GROUP BY a.url, a.addr_key
+    ),
+    near1 AS (
+      SELECT url, addr_key, n_node, n_dist FROM (
+        SELECT a.url, a.addr_key, ex.node_id AS n_node, {hav} AS n_dist,
+               ROW_NUMBER() OVER (PARTITION BY a.url, a.addr_key
+                                  ORDER BY {hav} ASC, ex.node_id ASC) AS rn
+        FROM a CROSS JOIN ex WHERE {hav} <= 10.0
+      ) WHERE rn = 1
+    )
+    SELECT a.url, a.addr_key,
+      CASE WHEN k.k_node IS NOT NULL AND (k.has_postcode OR a.postcode IS NULL) THEN 'duplicate'
+           WHEN k.k_node IS NOT NULL THEN 'update'
+           WHEN f.f_node IS NOT NULL AND (f.f_has_pc OR a.postcode IS NULL) THEN 'duplicate'
+           WHEN f.f_node IS NOT NULL THEN 'update'
+           WHEN b.b_ref IS NOT NULL THEN 'attach'
+           WHEN n.n_node IS NOT NULL THEN 'nearest'
+           ELSE 'create' END AS match_kind,
+      CASE WHEN k.k_node IS NOT NULL THEN k.k_node
+           WHEN f.f_node IS NOT NULL THEN f.f_node
+           WHEN b.b_ref IS NOT NULL THEN b.b_ref
+           WHEN n.n_node IS NOT NULL THEN n.n_node END AS matched_ref,
+      round(CASE WHEN k.k_node IS NOT NULL THEN {hav_k}
+                 WHEN f.f_node IS NOT NULL THEN {hav_f}
+                 WHEN b.b_ref IS NOT NULL THEN 0.0
+                 WHEN n.n_node IS NOT NULL THEN n.n_dist END, 3) AS dist_mm
+    FROM a
+    LEFT JOIN ex_best k USING (addr_key)
+    LEFT JOIN fuzzy_best f USING (url, addr_key)
+    LEFT JOIN bld b USING (url, addr_key)
+    LEFT JOIN near1 n USING (url, addr_key)
+    """
+
+
+@q("conflate_matches", None)
 def conflate_matches(spark, sf_dir):
     from osm_addr_tools_spark.plans.conflate import run_conflate
     from osm_addr_tools_spark.plans.extract import run_extract
@@ -717,7 +922,15 @@ def conflate_matches(spark, sf_dir):
     )
 
 
-@q("tile_assignments")
+ORACLES["conflate_matches"] = _conflate_oracle_sql()
+
+
+@q(
+    "tile_assignments",
+    f"""
+    SELECT feature_id, tile_id FROM read_parquet('{ODIR}/covers.parquet')
+    """,
+)
 def tile_assignments(spark, sf_dir):
     from osm_addr_tools_spark.plans.tile import run_tile_polygons
     from osm_addr_tools_spark.sources import synth as S
