@@ -326,7 +326,7 @@ def knn_join(
     query_id: str | list[str],
     cand_id: str,
     d_max_m: float,
-    k: int = 1,
+    k: int | None = 1,
     q_lon: str = "lon",
     q_lat: str = "lat",
     c_lon: str = "c_lon",
@@ -336,6 +336,9 @@ def knn_join(
 ) -> DataFrame:
     """For each query point: the k nearest candidates within ``d_max_m``
     meters (haversine), deterministic tie-break on candidate id (J5).
+    ``k=None`` returns ALL candidates within the distance band — no
+    ranking window, so the per-query sort is skipped entirely (a
+    distance-band join, not a kNN).
 
     Exactness: the join level is chosen so the minimum cell edge ≥ d_max,
     hence the 3×3 neighborhood of the query's cell provably contains every
@@ -368,6 +371,8 @@ def knn_join(
         "dist_m", G.haversine_m(F.col(q_lon), F.col(q_lat), F.col(c_lon), F.col(c_lat))
     )
     cand = cand.where(F.col("dist_m") <= F.lit(float(d_max_m)))
+    if k is None:
+        return cand
     w = Window.partitionBy(*qid_cols).orderBy(
         F.col("dist_m").asc(), F.col(cand_id).asc()
     )

@@ -521,14 +521,15 @@ def geo_pip_customer_in_rect(spark, sf_dir):
 def geo_distance_band_count(spark, sf_dir):
     from osm_addr_tools_spark.operators.joins import knn_join
 
-    # distance-band = kNN with unbounded k: reuse the 3×3 cell plan, then agg
+    # distance-band = kNN with k=None: the 3×3 cell plan WITHOUT the
+    # per-query ranking window (no sort the aggregation doesn't need)
     pairs = knn_join(
         _customer_points(spark, sf_dir),
         _supplier_points(spark, sf_dir),
         query_id="c_custkey",
         cand_id="s_suppkey",
         d_max_m=100.0,
-        k=10**9,
+        k=None,
     )
     return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_near"))
 
