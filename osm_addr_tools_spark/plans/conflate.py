@@ -151,7 +151,7 @@ def run_conflate(
     existing: DataFrame,
     d_max_m: float = D_MAX_M,
     containment_level: int = CONTAINMENT_LEVEL,
-    fuzzy_tau: float = FUZZY_TAU,
+    fuzzy_tau: float | None = FUZZY_TAU,
     salt: bool = False,
     pin_inputs: bool = True,
     **salt_kw,
@@ -207,37 +207,53 @@ def run_conflate(
     # --- evidence 1b: fuzzy street tie-breaker (F3) --------------------------
     # Candidates: same (city_norm, hn_norm), different street_norm, ratio ≥
     # τ. Bounded per key by the number of distinct streets sharing a
-    # housenumber in one city; the ratio UDF runs batch-vectorized on
-    # candidates only.
-    f_cand = (
-        a.select(
+    # housenumber in one city. The difflib ratio runs ONCE PER DISTINCT
+    # STREET-NAME PAIR derived from the per-city street VOCABULARIES — two
+    # cheap distinct aggregates and a per-city vocabulary join, never the
+    # full candidate table (computing ratios per candidate row burned ~4×
+    # conflate wall at 600k pages, and deriving the pair table from the
+    # candidate join executed that join twice). The surviving
+    # above-threshold pair table is tiny; AQE broadcasts it from its real
+    # size.
+    fuzzy_best = None
+    if fuzzy_tau is not None:
+        va = a.select("city_norm", F.col("street_norm").alias("_a_street")).distinct()
+        ve = ex.select("city_norm", F.col("street_norm").alias("_e_street")).distinct()
+        pair_ratio = (
+            va.join(ve, "city_norm")
+            .where(F.col("_e_street") != F.col("_a_street"))
+            .select("_a_street", "_e_street")
+            .distinct()
+            .withColumn(
+                "_ratio",
+                street_similarity_udf()(F.col("_a_street"), F.col("_e_street")),
+            )
+            .where(F.col("_ratio") >= F.lit(float(fuzzy_tau)))
+        )
+        # pre-join the pair table onto the existing side: the big join then
+        # keys on (city, hn, the similar street) and only nodes with an
+        # above-threshold counterpart street flow through the shuffle
+        exp = ex.select(
+            F.col("node_id").alias("f_node"),
+            F.col("e_lon").alias("f_lon"),
+            F.col("e_lat").alias("f_lat"),
+            F.col("e_tags").alias("f_tags"),
+            F.col("has_postcode").alias("f_has_pc"),
+            "city_norm", "hn_norm",
+            F.col("street_norm").alias("_e_street"),
+        ).join(pair_ratio.hint("shuffle_hash"), "_e_street")
+        f_cand = a.select(
             "url", "addr_key", "city_norm", "hn_norm",
             F.col("street_norm").alias("_a_street"),
+        ).join(exp.hint("shuffle_hash"), ["city_norm", "hn_norm", "_a_street"])
+        w_fuzzy = Window.partitionBy("url", "addr_key").orderBy(
+            F.col("_ratio").desc(), F.col("f_node").asc()
         )
-        .join(
-            ex.select(
-                F.col("node_id").alias("f_node"),
-                F.col("e_lon").alias("f_lon"),
-                F.col("e_lat").alias("f_lat"),
-                F.col("e_tags").alias("f_tags"),
-                F.col("has_postcode").alias("f_has_pc"),
-                "city_norm", "hn_norm",
-                F.col("street_norm").alias("_e_street"),
-            ).hint("shuffle_hash"),
-            ["city_norm", "hn_norm"],
+        fuzzy_best = (
+            f_cand.withColumn("_rn", F.row_number().over(w_fuzzy))
+            .where(F.col("_rn") == 1)
+            .select("url", "addr_key", "f_node", "f_has_pc", "f_lon", "f_lat", "f_tags")
         )
-        .where(F.col("_e_street") != F.col("_a_street"))
-        .withColumn("_ratio", street_similarity_udf()(F.col("_a_street"), F.col("_e_street")))
-        .where(F.col("_ratio") >= F.lit(float(fuzzy_tau)))
-    )
-    w_fuzzy = Window.partitionBy("url", "addr_key").orderBy(
-        F.col("_ratio").desc(), F.col("f_node").asc()
-    )
-    fuzzy_best = (
-        f_cand.withColumn("_rn", F.row_number().over(w_fuzzy))
-        .where(F.col("_rn") == 1)
-        .select("url", "addr_key", "f_node", "f_has_pc", "f_lon", "f_lat", "f_tags")
-    )
 
     # --- evidence 2: containment (J4) → smallest containing building --------
     unaddressed = buildings.where(
@@ -269,10 +285,16 @@ def run_conflate(
     # unreliable static size estimates; a misestimated initial broadcast
     # would serialize them through the driver. AQE converts back to
     # broadcast at runtime where genuinely small.
+    j = a.join(ex_best.hint("shuffle_hash"), "addr_key", "left")
+    if fuzzy_best is not None:
+        j = j.join(fuzzy_best.hint("shuffle_hash"), ["url", "addr_key"], "left")
+    else:  # fuzzy disabled: null evidence columns, same projection below
+        for c, t in (("f_node", "long"), ("f_has_pc", "boolean"),
+                     ("f_lon", "double"), ("f_lat", "double"),
+                     ("f_tags", "map<string,string>")):
+            j = j.withColumn(c, F.lit(None).cast(t))
     j = (
-        a.join(ex_best.hint("shuffle_hash"), "addr_key", "left")
-        .join(fuzzy_best.hint("shuffle_hash"), ["url", "addr_key"], "left")
-        .join(best_building.hint("shuffle_hash"), ["url", "addr_key"], "left")
+        j.join(best_building.hint("shuffle_hash"), ["url", "addr_key"], "left")
         .join(near1.hint("shuffle_hash"), ["url", "addr_key"], "left")
     )
     exact = F.col("k_node").isNotNull()
