@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 1
+_VERSION = 2
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
@@ -195,6 +195,25 @@ def _shingles_pdf(docs: pd.DataFrame, k: int = 5, cap: int = 512) -> pd.DataFram
     return pd.DataFrame({"doc_id": ids, "g": gs})
 
 
+def _minhash_sigs_pdf(docs: pd.DataFrame, k: int = 5, num_perm: int = 64,
+                      seed: int = 42) -> pd.DataFrame:
+    """MinHash signatures via the same seeded-mix construction as
+    operators.dedup.minhash_udf (shared kernel; the SQL oracle re-derives
+    the banding candidate generation and the agreement verify from these)."""
+    from osm_addr_tools_spark.operators.dedup import _mix64, _shingle_hashes
+
+    seeds = _mix64(np.arange(1, num_perm + 1, dtype=np.uint64) + np.uint64(seed))
+    sigs = []
+    for t in docs["text"]:
+        h = _shingle_hashes(t, k)
+        if h.size == 0:
+            sigs.append([0] * num_perm)
+        else:
+            sigs.append(_mix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+                        .astype(np.int64).tolist())
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "sig": sigs})
+
+
 def _ann_buckets(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Hyperplane buckets for the registered ANN query: queries = vec_id %
     50 == 0 with multi-probe flips, candidates = the rest (same plane
@@ -262,6 +281,9 @@ def ensure(sf_dir: str) -> str:
     docs = _planted_docs(sf_dir)
     _simhash_pdf(docs).to_parquet(os.path.join(out, "simhash_fp.parquet"), index=False)
     _shingles_pdf(docs).to_parquet(os.path.join(out, "shingles.parquet"), index=False)
+    _minhash_sigs_pdf(docs).to_parquet(
+        os.path.join(out, "minhash_sigs.parquet"), index=False
+    )
 
     qb, cb = _ann_buckets(sf_dir)
     qb.to_parquet(os.path.join(out, "ann_q_buckets.parquet"), index=False)

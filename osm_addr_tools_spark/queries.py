@@ -16,9 +16,13 @@ make the hashes reproducible:
   the engine runs its real cell-index plans, the oracle runs a naive
   cross join: this gates the INDEX against the naive semantics.
 
-Non-SQL-expressible pipelines (full conflation, tiling, MinHash/SimHash)
-are registered without an oracle → the driver records a rows-only check;
-their exactness gates live in pytest against the pure-Python oracle.
+Pipelines with non-SQL kernels (HTML extraction, difflib similarity, S2
+covers, simhash/minhash/hyperplane projections) are still hash-verified:
+their relational tails run in DuckDB over pure-pandas intermediates
+materialized by osm_addr_tools_spark.oracle_support (see the section
+comment below). The one remaining rows-only entry is
+events_user_approx_distinct (engine-specific HLL sketch — gated by a
+pytest error bound instead).
 """
 
 from __future__ import annotations
@@ -687,11 +691,39 @@ def _docs_with_planted(spark, sf_dir):
     return d.unionByName(near).unionByName(exact)
 
 
-@q("dedup_minhash_lsh")
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Banding candidate generation + agreement verify over the
+    materialized signatures. DuckDB list slices are 1-based inclusive;
+    band i is sig[4i+1 : 4i+4]. Bucket hashing is irrelevant to the
+    result — bucket equality == slice equality (modulo negligible 64-bit
+    collisions), so the oracle compares slices directly."""
+    rpb = num_perm // bands
+    band_eq = " OR ".join(
+        f"x.sig[{i * rpb + 1}:{(i + 1) * rpb}] = y.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.sig[{i}] = y.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_perm + 1)
+    )
+    return f"""
+    SELECT a, b, round(agree / {num_perm}.0, 6) AS est_jaccard FROM (
+      SELECT x.doc_id AS a, y.doc_id AS b, ({agree}) AS agree
+      FROM read_parquet('{ODIR}/minhash_sigs.parquet') x
+      JOIN read_parquet('{ODIR}/minhash_sigs.parquet') y
+        ON x.doc_id < y.doc_id AND ({band_eq})
+    ) WHERE agree / {num_perm}.0 >= {threshold}
+    """
+
+
+@q("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf_dir):
     from osm_addr_tools_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
 
 
 @q(
@@ -774,7 +806,38 @@ def emb_ann_lsh_top3(spark, sf_dir):
     )
 
 
-@q("docs_lang_id")
+def _lang_id_oracle_sql() -> str:
+    """Replicates functions.text.lang_id in SQL: first 500 word tokens,
+    stopword-overlap score per profile, first language in sorted order
+    with a STRICTLY greater score, 'und' when all zero. The documents
+    table is pure ASCII (checked), so RE2 '[a-z]+' on lower(text) equals
+    Python's unicode '[^\\W\\d_]+' tokenization here."""
+    from osm_addr_tools_spark.functions.text import _LANG_PROFILES
+
+    scores = ", ".join(
+        "len(list_filter(toks, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], w))) AS s_{lang}"
+        for lang in sorted(_LANG_PROFILES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_slice(regexp_extract_all(lower(text), '[a-z]+'), 1, 500) AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {scores} FROM toks)
+    SELECT doc_id,
+      CASE WHEN s_de = 0 AND s_en = 0 AND s_fr = 0 AND s_pl = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_pl THEN 'de'
+           WHEN s_en >= s_fr AND s_en >= s_pl THEN 'en'
+           WHEN s_fr >= s_pl THEN 'fr'
+           ELSE 'pl' END AS lang_pred
+    FROM s
+    """
+
+
+@q("docs_lang_id", None)
 def docs_lang_id(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
@@ -789,7 +852,50 @@ def docs_lang_id(spark, sf_dir):
     )
 
 
-@q("media_decode_features")
+ORACLES["docs_lang_id"] = _lang_id_oracle_sql()
+
+
+def _media_oracle_sql(n: int = 200) -> str:
+    """Pure-arithmetic replication of synth_media + fake decode + byte-
+    histogram features: the blob is an 11-byte header (magic 'SYNM' +
+    little-endian kind/w/h/frames, all < 256 here so high bytes are 0)
+    followed by (arange(w*h) + i%251) mod 256 payload bytes; f0 =
+    hist[0]/||hist|| over byte%16 counts, quantized to float32 (REAL)
+    exactly as the numpy UDF does before rounding."""
+    return f"""
+    WITH ids AS (SELECT CAST(t.i AS BIGINT) AS i FROM range({n}) t(i)),
+    dims AS (
+      SELECT i, 16 + i % 64 AS w, 16 + (i * 7) % 48 AS h,
+             1 + i % 30 AS nf, i % 3 AS kid
+      FROM ids
+    ),
+    payload AS (
+      SELECT d.i, ((u.j + d.i % 251) % 256) % 16 AS b
+      FROM dims d, UNNEST(range(0, d.w * d.h)) AS u(j)
+    ),
+    hdr AS (
+      SELECT i, u.b
+      FROM dims, UNNEST([3, 9, 14, 13, kid % 16, w % 16, 0, h % 16, 0, nf % 16, 0]) AS u(b)
+    ),
+    hist AS (
+      SELECT i, b, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT * FROM payload UNION ALL SELECT * FROM hdr)
+      GROUP BY i, b
+    ),
+    agg AS (
+      SELECT i, SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS h0,
+             sqrt(SUM(c * c)) AS nrm
+      FROM hist GROUP BY i
+    )
+    SELECT d.i AS media_id,
+           CASE d.kid WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           d.w AS width, d.h AS height, d.nf AS n_frames,
+           round(CAST(CAST(a.h0 / a.nrm AS REAL) AS DOUBLE), 6) AS f0
+    FROM dims d JOIN agg a USING (i)
+    """
+
+
+@q("media_decode_features", None)
 def media_decode_features(spark, sf_dir):
     from osm_addr_tools_spark.operators import multimodal as M
 
@@ -799,8 +905,11 @@ def media_decode_features(spark, sf_dir):
     feats = M.media_features(media, dim=16)
     return dec.join(feats, "media_id").select(
         "media_id", "kind", "width", "height", "n_frames",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
+
+
+ORACLES["media_decode_features"] = _media_oracle_sql()
 
 
 # --- engine pipelines --------------------------------------------------------
