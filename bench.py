@@ -148,7 +148,11 @@ def main() -> int:
         sf = 0.1
     n_pages = int(os.environ.get("SPARK_GRAFT_N_PAGES", str(max(1000, int(1_000_000 * sf)))))
 
-    base = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/tmp/spark_graft_bench_{sf}")
+    # n_pages in the directory name: a marker file alone can't invalidate
+    # inputs when the SAME dir is reused at a different n_pages
+    base = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR", f"/tmp/spark_graft_bench_{sf}_{n_pages}"
+    )
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

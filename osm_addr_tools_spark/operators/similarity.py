@@ -159,9 +159,12 @@ def ivf_ann_topk(
     """IVF: train a coarse quantizer on a bounded candidate sample, assign
     candidates to their nearest centroid (1 list each), probe the query's
     ``n_probe`` nearest lists — candidate generation is an equi-join on the
-    list id."""
+    list id. The sample is the first ``sample`` candidates BY ID — a bare
+    ``limit`` picks partition-order rows, which is not reproducible across
+    layouts; ordering makes the quantizer (and the oracle parity) a pure
+    function of the data."""
     samp = np.stack(
-        [r[0] for r in candidates.select(c_vec).limit(sample).collect()]
+        [r[0] for r in candidates.select(c_vec, c_id).orderBy(c_id).limit(sample).collect()]
     )
     cent = kmeans_centroids(samp, n_centroids, seed=seed)
     c_assign = centroid_assign_udf(cent, 1)

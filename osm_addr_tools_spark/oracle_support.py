@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 2
+_VERSION = 3
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
@@ -238,6 +238,42 @@ def _ann_buckets(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return qb, cb
 
 
+def _ivf_buckets(sf_dir: str, n_centroids: int = 16, n_probe: int = 3,
+                 sample: int = 2000) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """IVF list assignments for the registered ANN-IVF query: the coarse
+    quantizer trains on the first ``sample`` candidates by id (the same
+    deterministic sample operators.similarity.ivf_ann_topk collects) and
+    the assignment math reuses the same NumPy kernel, so the SQL oracle
+    gates the Spark-side distribution (join/rank), not the quantizer."""
+    from osm_addr_tools_spark.operators.similarity import kmeans_centroids
+
+    e = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vid = e["vec_id"].to_numpy()
+    mat = np.stack(e["embedding"].to_numpy())
+    is_q = vid % 50 == 0
+    cand_order = np.argsort(vid[~is_q], kind="stable")
+    # float64: the engine's collect() yields float64 of the float32 values,
+    # and kmeans means must accumulate in the same precision to converge to
+    # bit-identical centroids
+    samp = mat[~is_q][cand_order][:sample].astype(np.float64)
+    cent = kmeans_centroids(samp, n_centroids, seed=42)
+
+    def dists(m):
+        return ((m.astype(np.float64)[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+
+    c_list = dists(mat[~is_q]).argsort(axis=1)[:, :1]
+    q_list = dists(mat[is_q]).argsort(axis=1)[:, :n_probe]
+    cb = pd.DataFrame({"cand_id": vid[~is_q], "list": c_list[:, 0].astype(np.int32)})
+    qb = pd.DataFrame(
+        {
+            "vec_id": np.repeat(vid[is_q], n_probe),
+            "list": q_list.ravel().astype(np.int32),
+        }
+    )
+    return qb, cb
+
+
 def ensure(sf_dir: str) -> str:
     """Idempotently materialize every oracle intermediate for ``sf_dir``;
     returns the directory. Pure pandas — callable without a SparkSession."""
@@ -288,6 +324,10 @@ def ensure(sf_dir: str) -> str:
     qb, cb = _ann_buckets(sf_dir)
     qb.to_parquet(os.path.join(out, "ann_q_buckets.parquet"), index=False)
     cb.to_parquet(os.path.join(out, "ann_c_buckets.parquet"), index=False)
+
+    iq, ic = _ivf_buckets(sf_dir)
+    iq.to_parquet(os.path.join(out, "ivf_q_lists.parquet"), index=False)
+    ic.to_parquet(os.path.join(out, "ivf_c_lists.parquet"), index=False)
 
     with open(marker, "w") as f:
         f.write("ok")

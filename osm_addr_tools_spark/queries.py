@@ -806,6 +806,42 @@ def emb_ann_lsh_top3(spark, sf_dir):
     )
 
 
+@q(
+    "emb_ann_ivf_top3",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT q.vec_id, c.cand_id
+      FROM read_parquet('{ODIR}/ivf_q_lists.parquet') q
+      JOIN read_parquet('{ODIR}/ivf_c_lists.parquet') c USING (list)
+    ),
+    scored AS (
+      SELECT p.vec_id, p.cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        p.cand_id ASC) AS rn
+      FROM pairs p
+      JOIN embeddings qe ON qe.vec_id = p.vec_id
+      JOIN embeddings ce ON ce.vec_id = p.cand_id
+    )
+    SELECT vec_id, cand_id FROM scored WHERE rn <= 3
+    """,
+)
+def emb_ann_ivf_top3(spark, sf_dir):
+    from osm_addr_tools_spark.operators.similarity import ivf_ann_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.col("embedding").alias("q_emb")
+    )
+    cv = e.where(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    return ivf_ann_topk(spark, qv, cv, k=3, n_centroids=16, n_probe=3).select(
+        "vec_id", "cand_id"
+    )
+
+
 def _lang_id_oracle_sql() -> str:
     """Replicates functions.text.lang_id in SQL: first 500 word tokens,
     stopword-overlap score per profile, first language in sorted order
