@@ -37,6 +37,11 @@ def build_spark(cpus: int):
         # post-shuffle coalescing ahead of the PIP-refine stage.
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # let AQE coalesce below the default 1 MB floor: with
+        # parallelismFirst (default true) post-shuffle partition count then
+        # tracks cores, so CPU-heavy Arrow stages keep full parallelism on
+        # small-byte shuffles too
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
@@ -170,6 +175,21 @@ def main() -> int:
     # including conflate_join itself, against the small stored copy.
     # Cold-start is a per-session fixed cost that amortizes to zero at
     # production scale; the benchmark reports steady-state throughput.
+    # spawn the FULL Python worker pool up front (2× cores under concurrent
+    # Arrow stages): a trivial pandas-UDF job with one task per worker slot.
+    # The 1/50-scale warm queries below run too few partitions to do this,
+    # and lazily forking ~64 workers inside the first timed full-size run
+    # cost ~20 s at local[32].
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        return x * 1.0
+
+    spark.range(0, cpus * 4, 1, cpus * 2).select(
+        _warm_udf(col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+
     warm = bench_queries(spark, sf_dir, n_warm, warm_base)
     for name in ("conflate_join", "conflate_pipeline", "q1_pricing_summary",
                  "emb_cosine_top3"):
