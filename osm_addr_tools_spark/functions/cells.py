@@ -354,6 +354,74 @@ def cell_neighbors(cell: np.ndarray) -> np.ndarray:
     return out
 
 
+def cell_ring(cell: np.ndarray, r: int) -> list:
+    """All same-level cells within graph distance ``r`` of each cell under
+    8-connectivity (Chebyshev ring), INCLUDING the cell itself — the
+    (2r+1)×(2r+1) block, face-wrap correct. Returns a list of sorted unique
+    int64 arrays (ragged: boundary cells wrap onto adjacent faces and may
+    collapse duplicates).
+
+    Fast path: cells whose whole block stays inside their cube face get the
+    block by direct vectorized ij arithmetic. Cells within ``r`` of a face
+    boundary (rare at fine levels) fall back to ``r`` iterated
+    ``cell_neighbors`` dilations — each single step uses the tested
+    one-cell wrap, so multi-cell cross-face adjacency is never computed
+    directly (its linear-extension geometry is only exact one cell out).
+
+    ``r = 1`` reproduces {cell} ∪ cell_neighbors(cell) exactly
+    (property-tested).
+    """
+    cell_i = np.asarray(cell, dtype=np.int64)
+    n = cell_i.size
+    if n == 0:
+        return []
+    cell_u = cell_i.astype(np.uint64)
+    level = cell_level(cell_u)
+    if not (level == level[0]).all():
+        raise ValueError("cell_ring requires uniform level per batch")
+    lvl = int(level[0])
+    size = 1 << (MAX_LEVEL - lvl)
+    face, i, j = cell_to_face_ij(cell_u)
+    i &= ~(size - 1)
+    j &= ~(size - 1)
+    interior = (
+        (i >= r * size)
+        & (i + (r + 1) * size <= MAX_SIZE)
+        & (j >= r * size)
+        & (j + (r + 1) * size <= MAX_SIZE)
+    )
+    out: list = [None] * n
+    idx_int = np.nonzero(interior)[0]
+    if idx_int.size:
+        m = 2 * r + 1
+        offs = np.arange(-r, r + 1, dtype=np.int64) * size
+        ii = (i[idx_int, None] + offs[None, :])[:, :, None]  # (k, m, 1)
+        jj = (j[idx_int, None] + offs[None, :])[:, None, :]  # (k, 1, m)
+        ii = np.broadcast_to(ii, (idx_int.size, m, m)).reshape(-1)
+        jj = np.broadcast_to(jj, (idx_int.size, m, m)).reshape(-1)
+        ff = np.repeat(face[idx_int], m * m)
+        leaf = cell_from_face_ij(ff, ii, jj)
+        ids = cell_parent(leaf, lvl).astype(np.int64).reshape(idx_int.size, m * m)
+        ids = np.sort(ids, axis=1)
+        for row_out, row in zip(idx_int, ids):
+            out[row_out] = row  # interior block: m*m distinct cells, sorted
+    idx_bnd = np.nonzero(~interior)[0]
+    if idx_bnd.size:
+        cur = cell_i[idx_bnd][:, None]  # (k, 1)
+        for _ in range(r):
+            nb = cell_neighbors(cur.reshape(-1))  # (k*m, 8)
+            k, m = cur.shape
+            cur = np.concatenate([cur, nb.reshape(k, m * 8)], axis=1)
+        cur = np.sort(cur, axis=1)
+        keep = np.concatenate(
+            [np.ones((cur.shape[0], 1), dtype=bool), cur[:, 1:] != cur[:, :-1]],
+            axis=1,
+        )
+        for row_out, row, krow in zip(idx_bnd, cur, keep):
+            out[row_out] = row[krow]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # polygon cover / uncover (C4, C5)
 # ---------------------------------------------------------------------------

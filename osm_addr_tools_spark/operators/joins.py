@@ -51,6 +51,17 @@ def cell_neighbors_udf():
     return nbr
 
 
+def cell_ring_udf(r: int):
+    """cell → array of all same-level cells within Chebyshev distance r,
+    including the cell itself ((2r+1)² block, face-wrap correct)."""
+
+    @pandas_udf("array<long>")
+    def ring(cell: pd.Series) -> pd.Series:
+        return pd.Series(C.cell_ring(cell.to_numpy(np.int64), r))
+
+    return ring
+
+
 def cover_polygon_udf(level: int):
     """rings (array<array<struct<lon,lat>>>) → array<long> cover cells."""
 
@@ -332,6 +343,8 @@ def knn_join(
     c_lon: str = "c_lon",
     c_lat: str = "c_lat",
     salt: bool = False,
+    ring_r: int = 1,
+    expand: str = "queries",
     **salt_kw,
 ) -> DataFrame:
     """For each query point: the k nearest candidates within ``d_max_m``
@@ -340,29 +353,38 @@ def knn_join(
     ranking window, so the per-query sort is skipped entirely (a
     distance-band join, not a kNN).
 
-    Exactness: the join level is chosen so the minimum cell edge ≥ d_max,
-    hence the 3×3 neighborhood of the query's cell provably contains every
-    candidate within d_max (assertion below is the plan-build-time proof
-    obligation from SURVEY §7.4.2). Distance math is pure Column expressions
-    (whole-stage codegen), only the cell encode is a pandas UDF.
+    Exactness: the join level is the finest whose minimum cell edge ≥
+    d_max / ring_r, hence the (2r+1)×(2r+1) Chebyshev ring of a point's
+    cell provably contains every point within d_max (crossing to a cell at
+    graph distance ≥ r+1 traverses ≥ r full cell widths ≥ d_max; the
+    assertion below is the plan-build-time proof obligation from SURVEY
+    §7.4.2). ``ring_r=1`` is the classic 3×3; larger r uses finer cells —
+    candidate volume shrinks toward the exact 2d_max disk (e.g. r=3 probes
+    49 cells of 1/16 the area ≈ 0.34× the r=1 candidate volume) at the
+    price of a (2r+1)² explode on the ``expand`` side.
+
+    ``expand`` picks which side carries the ring explode ("queries" or
+    "candidates" — pass the SMALLER side; the pair set is identical either
+    way because Chebyshev adjacency is symmetric, property-tested). The
+    other side joins on its single cell. Distance math is pure Column
+    expressions (whole-stage codegen); only the cell encode/ring are
+    pandas UDFs.
     """
-    level = C.level_for_max_distance(d_max_m)
-    assert C.min_cell_edge_meters(level) >= d_max_m, (
-        f"kNN sufficiency violated: level {level} edge "
+    if expand not in ("queries", "candidates"):
+        raise ValueError(f"expand must be 'queries' or 'candidates', got {expand!r}")
+    level = C.level_for_max_distance(d_max_m / ring_r)
+    assert ring_r * C.min_cell_edge_meters(level) >= d_max_m, (
+        f"kNN sufficiency violated: ring {ring_r} × level-{level} edge "
         f"{C.min_cell_edge_meters(level):.1f} m < d_max {d_max_m} m"
     )
-    q = with_cell(queries, level, q_lon, q_lat, "_qcell")
-    # self cell + 8 neighbors = full 3×3 disk
-    q = q.withColumn(
-        "_cell",
-        F.explode(
-            F.array_union(
-                F.array(F.col("_qcell")), cell_neighbors_udf()(F.col("_qcell"))
-            )
-        ),
-    ).drop("_qcell")
     qid_cols = [query_id] if isinstance(query_id, str) else list(query_id)
+    q = with_cell(queries, level, q_lon, q_lat, "_cell")
     c = with_cell(candidates, level, c_lon, c_lat, "_cell")
+    ring = cell_ring_udf(ring_r)
+    if expand == "queries":
+        q = q.withColumn("_cell", F.explode(ring(F.col("_cell"))))
+    else:
+        c = c.withColumn("_cell", F.explode(ring(F.col("_cell"))))
     if salt:
         cand = salted_join(q, c, "_cell", F.col(qid_cols[0]), **salt_kw)
     else:

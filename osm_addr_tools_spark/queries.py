@@ -483,6 +483,11 @@ def geo_knn_nearest_supplier(spark, sf_dir):
         cand_id="s_suppkey",
         d_max_m=50.0,
         k=1,
+        # suppliers are 1/15 the customer count: carry the (2r+1)² ring
+        # explode on the small side and probe 49 sixteenth-area cells
+        # (~0.34× the 3×3 candidate volume)
+        ring_r=3,
+        expand="candidates",
     ).select("c_custkey", "s_suppkey")
 
 
@@ -525,7 +530,7 @@ def geo_pip_customer_in_rect(spark, sf_dir):
 def geo_distance_band_count(spark, sf_dir):
     from osm_addr_tools_spark.operators.joins import knn_join
 
-    # distance-band = kNN with k=None: the 3×3 cell plan WITHOUT the
+    # distance-band = kNN with k=None: the ring cell plan WITHOUT the
     # per-query ranking window (no sort the aggregation doesn't need)
     pairs = knn_join(
         _customer_points(spark, sf_dir),
@@ -534,6 +539,8 @@ def geo_distance_band_count(spark, sf_dir):
         cand_id="s_suppkey",
         d_max_m=100.0,
         k=None,
+        ring_r=3,
+        expand="candidates",
     )
     return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_near"))
 

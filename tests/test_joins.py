@@ -105,6 +105,40 @@ def test_pip_join_salted_equals_plain(spark):
     assert key(plain) == key(salted)
 
 
+def test_knn_join_ring_variants_equal_bruteforce(spark):
+    """Ring generalization (VERDICT r2 #1): (2r+1)×(2r+1) at the finer
+    level picked by d_max/r, with the explode on either side, must return
+    the identical pair set as r=1 and as brute force."""
+    q = _points(spark, 250)
+    c = _points(spark, 250, salt_base=1).rename(
+        columns={"pid": "cid", "lon": "c_lon", "lat": "c_lat"}
+    )
+    d_max, k = 25.0, 2
+    d = G.haversine_np(
+        q.lon.to_numpy()[:, None], q.lat.to_numpy()[:, None],
+        c.c_lon.to_numpy()[None, :], c.c_lat.to_numpy()[None, :],
+    )
+    expect = []
+    for i in range(len(q)):
+        within = np.flatnonzero(d[i] <= d_max)
+        order = np.lexsort((c.cid.to_numpy()[within], d[i][within]))
+        for j in order[:k]:
+            expect.append((int(q.pid[i]), int(c.cid.iloc[within[j]])))
+    expect = sorted(expect)
+    assert len(expect) > 30
+    for ring_r, expand in ((2, "queries"), (3, "candidates"), (1, "candidates")):
+        got = (
+            knn_join(
+                spark.createDataFrame(q), spark.createDataFrame(c),
+                query_id="pid", cand_id="cid", d_max_m=d_max, k=k,
+                ring_r=ring_r, expand=expand,
+            )
+            .select("pid", "cid")
+            .toPandas()
+        )
+        assert sorted(map(tuple, got.to_numpy())) == expect, (ring_r, expand)
+
+
 def test_knn_join_exact_at_face_corner(spark):
     """Regression (ADVICE r1): the min-cell-width bound must hold at cube-face
     corners, where quadratic-projection cells are narrowest. Points straddle
@@ -148,3 +182,16 @@ def test_knn_join_exact_at_face_corner(spark):
     got_map = dict(zip(got.pid, got.cid))
     assert got_map == want
     assert len(want) > 10  # the scenario actually exercises matches
+    # the ring generalization must stay exact in the same worst-case
+    # corner geometry, both explode sides (VERDICT r2 #1)
+    for ring_r, expand in ((3, "candidates"), (2, "queries")):
+        got_r = (
+            knn_join(
+                spark.createDataFrame(q), spark.createDataFrame(c),
+                query_id="pid", cand_id="cid", d_max_m=d_max, k=1,
+                ring_r=ring_r, expand=expand,
+            )
+            .select("pid", "cid")
+            .toPandas()
+        )
+        assert dict(zip(got_r.pid, got_r.cid)) == want, (ring_r, expand)
