@@ -84,7 +84,12 @@ def norm_street(s: pd.Series) -> pd.Series:
     return s
 
 
-def street_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+# instrumentation: exact-matcher invocations (in-process kernel tests only;
+# Spark workers each carry their own copy)
+EXACT_RATIO_CALLS = 0
+
+
+def street_similarity(a: pd.Series, b: pd.Series, tau: float | None = None) -> pd.Series:
     """F3 — SequenceMatcher-style longest-matching-blocks ratio in [0, 1].
 
     ratio = 2*M / (len(a)+len(b)) where M is total matched characters via
@@ -92,13 +97,33 @@ def street_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     autojunk off — fully deterministic). Used only as a tie-breaker when
     exact normalized match fails (SURVEY §2.8 F3), so the per-pair Python
     cost inside the Arrow batch is bounded and off the hot path.
+
+    ``tau``: acceptance-threshold fast path (VERDICT r2 #2). The matching
+    blocks are disjoint and ordered in both strings, so their concatenation
+    is a common subsequence; hence M ≤ |char-multiset intersection| and
+    ratio ≤ 2·|∩| / (la+lb). Pairs whose bound is already < tau return the
+    bound (still < tau — identical ≥-tau pair set, property-tested) without
+    running the O(n²) matcher; Counter-∩ is O(n). Survivors get the exact
+    ratio, so ranking among accepted pairs is unchanged.
     """
     import difflib
+    from collections import Counter
 
-    out = [
-        difflib.SequenceMatcher(None, x or "", y or "", autojunk=False).ratio()
-        for x, y in zip(a.fillna(""), b.fillna(""))
-    ]
+    global EXACT_RATIO_CALLS
+    av, bv = a.fillna(""), b.fillna("")
+    out = []
+    for x, y in zip(av, bv):
+        x, y = x or "", y or ""
+        if tau is not None:
+            la, lb = len(x), len(y)
+            if la + lb:
+                common = sum((Counter(x) & Counter(y)).values())
+                bound = 2.0 * common / (la + lb)
+                if bound < tau:
+                    out.append(bound)
+                    continue
+        EXACT_RATIO_CALLS += 1
+        out.append(difflib.SequenceMatcher(None, x, y, autojunk=False).ratio())
     return pd.Series(out, index=a.index, dtype="float64")
 
 

@@ -89,13 +89,14 @@ def norm_tags_udf():
     return norm
 
 
-def street_similarity_udf():
+def street_similarity_udf(tau: float | None = None):
     """F3 ratio as a batch UDF (bounded candidate pairs only — off the
-    hot path by construction)."""
+    hot path by construction). ``tau`` enables the char-multiset
+    upper-bound fast path: blocked pairs provably score < tau."""
 
     @pandas_udf("double")
     def sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        return N.street_similarity(a, b)
+        return N.street_similarity(a, b, tau=tau)
 
     return sim
 
@@ -219,14 +220,23 @@ def run_conflate(
     if fuzzy_tau is not None:
         va = a.select("city_norm", F.col("street_norm").alias("_a_street")).distinct()
         ve = ex.select("city_norm", F.col("street_norm").alias("_e_street")).distinct()
+        # JVM-side length-band block (VERDICT r2 #2): matched chars ≤
+        # min(la,lb), so ratio ≥ τ requires 2·min(la,lb) ≥ τ·(la+lb) — a
+        # pure codegen predicate that discards most of a vocabulary
+        # cross-product before any Python runs. The UDF adds a second
+        # provable block (char-multiset ∩ bound) before the O(n²) matcher.
+        la, lb = F.length("_a_street"), F.length("_e_street")
         pair_ratio = (
             va.join(ve, "city_norm")
             .where(F.col("_e_street") != F.col("_a_street"))
             .select("_a_street", "_e_street")
             .distinct()
+            .where(2.0 * F.least(la, lb) >= F.lit(float(fuzzy_tau)) * (la + lb))
             .withColumn(
                 "_ratio",
-                street_similarity_udf()(F.col("_a_street"), F.col("_e_street")),
+                street_similarity_udf(float(fuzzy_tau))(
+                    F.col("_a_street"), F.col("_e_street")
+                ),
             )
             .where(F.col("_ratio") >= F.lit(float(fuzzy_tau)))
         )

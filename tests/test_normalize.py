@@ -68,3 +68,56 @@ def test_addr_key_street_place_fallback():
         pd.Series(["12 a", "012"]),
     )
     assert key.tolist() == ["adamowo|długa|12A", "adamowo|osiedle zielone|12"]
+
+
+def test_street_similarity_blocking_is_lossless():
+    """The tau fast path (length-band + char-multiset bound) must keep the
+    >= tau pair set AND the surviving ratios identical, while cutting exact
+    matcher calls ~10x on a stress vocabulary (VERDICT r2 #2)."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz")
+    base = ["".join(rng.choice(alphabet, rng.integers(4, 14))) for _ in range(120)]
+    vocab = list(base)
+    for s in base[:40]:  # planted near-duplicates: 1-char edits + drops
+        i = int(rng.integers(0, len(s)))
+        vocab.append(s[:i] + str(rng.choice(alphabet)) + s[i + 1:])
+        vocab.append(s[:i] + s[i + 1:])
+    pairs = [(a, b) for a, b in itertools.product(vocab, vocab) if a != b]
+    pa = pd.Series([p[0] for p in pairs])
+    pb = pd.Series([p[1] for p in pairs])
+    tau = 0.75
+
+    N.EXACT_RATIO_CALLS = 0
+    exact = N.street_similarity(pa, pb)
+    exact_calls = N.EXACT_RATIO_CALLS
+
+    # JVM-side band replica: 2*min >= tau*(la+lb)
+    la = pa.str.len().to_numpy()
+    lb = pb.str.len().to_numpy()
+    band = 2 * np.minimum(la, lb) >= tau * (la + lb)
+    N.EXACT_RATIO_CALLS = 0
+    blocked = N.street_similarity(pa[band], pb[band], tau=tau)
+    blocked_calls = N.EXACT_RATIO_CALLS
+
+    accepted_exact = {
+        (a, b) for (a, b), r in zip(pairs, exact) if r >= tau
+    }
+    accepted_blocked = {
+        (a, b)
+        for (a, b), r in zip(
+            [p for p, keep in zip(pairs, band) if keep], blocked
+        )
+        if r >= tau
+    }
+    assert accepted_exact == accepted_blocked
+    assert len(accepted_exact) >= 40  # the planted typos actually survive
+    # accepted pairs keep their EXACT ratio (ranking unchanged)
+    idx = {p: i for i, p in enumerate(pairs)}
+    bidx = {p: i for i, p in enumerate([p for p, k in zip(pairs, band) if k])}
+    for p in accepted_exact:
+        assert exact.iloc[idx[p]] == blocked.iloc[bidx[p]]
+    assert blocked_calls * 10 <= exact_calls, (blocked_calls, exact_calls)
