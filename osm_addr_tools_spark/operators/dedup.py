@@ -227,20 +227,24 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
+    # candidate generation travels light (VERDICT r2 #8): only (id, band,
+    # bucket) flows through the band join and the (a,b) dedup shuffle — a
+    # pair surfacing in many bands would otherwise drag TWO 64-long
+    # signature arrays (~1 KB) through every duplicate. Signatures re-join
+    # by id afterwards: two |docs|-sized shuffles instead of
+    # |band-duplicated pairs|-sized payloads.
     buckets = sig.withColumn("_b", F.explode(band_cols)).select(
-        "_id", "_sig", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
-    lhs = buckets.select(
-        F.col("_id").alias("a"), F.col("_sig").alias("sig_a"), "band", "bucket"
-    )
-    rhs = buckets.select(
-        F.col("_id").alias("b"), F.col("_sig").alias("sig_b"), "band", "bucket"
-    )
+    lhs = buckets.select(F.col("_id").alias("a"), "band", "bucket")
+    rhs = buckets.select(F.col("_id").alias("b"), "band", "bucket")
     cand = (
         lhs.join(rhs, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .join(sig.select(F.col("_id").alias("a"), F.col("_sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("_id").alias("b"), F.col("_sig").alias("sig_b")), "b")
     )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -83,10 +83,22 @@ def lsh_ann_topk(
     q_vec: str = "q_emb",
     c_vec: str = "c_emb",
     seed: int = 42,
+    salt: bool = False,
+    **salt_kw,
 ) -> DataFrame:
     """Approximate cosine top-k: equi-join on the hyperplane bucket
     (n_probes>1 additionally probes buckets at hamming distance 1 —
-    multi-probe recall boost without more hyperplanes)."""
+    multi-probe recall boost without more hyperplanes).
+
+    ``salt=True`` routes the bucket join through the two-pass salted join
+    (J3) with the CANDIDATE side as the histogrammed probe: a
+    near-duplicate-saturated corpus concentrates candidates in few buckets
+    (hyperplane sign bits of similar vectors agree), and salting splits a
+    hot bucket's candidate rows across tasks while replicating only the
+    small query side. Row-identical to the unsalted join (property-tested).
+    """
+    from osm_addr_tools_spark.operators.joins import salted_join
+
     bq = hyperplane_bucket_udf(dim, n_planes, seed)
     bc = hyperplane_bucket_udf(dim, n_planes, seed)
     qb = queries.withColumn("_bucket", bq(F.col(q_vec)))
@@ -100,9 +112,11 @@ def lsh_ann_topk(
         )
         qb = qb.withColumn("_bucket", F.explode(flips))
     cb = candidates.withColumn("_bucket", bc(F.col(c_vec)))
-    pairs = qb.join(cb, "_bucket").withColumn(
-        "sim", cosine_col(F.col(q_vec), F.col(c_vec))
-    )
+    if salt:
+        pairs = salted_join(cb, qb, "_bucket", F.col(c_id), **salt_kw)
+    else:
+        pairs = qb.join(cb, "_bucket")
+    pairs = pairs.withColumn("sim", cosine_col(F.col(q_vec), F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return (
         pairs.dropDuplicates([q_id, c_id])
@@ -155,6 +169,8 @@ def ivf_ann_topk(
     q_vec: str = "q_emb",
     c_vec: str = "c_emb",
     seed: int = 42,
+    salt: bool = False,
+    **salt_kw,
 ) -> DataFrame:
     """IVF: train a coarse quantizer on a bounded candidate sample, assign
     candidates to their nearest centroid (1 list each), probe the query's
@@ -162,7 +178,13 @@ def ivf_ann_topk(
     list id. The sample is the first ``sample`` candidates BY ID — a bare
     ``limit`` picks partition-order rows, which is not reproducible across
     layouts; ordering makes the quantizer (and the oracle parity) a pure
-    function of the data."""
+    function of the data.
+
+    ``salt=True``: as in lsh_ann_topk — an unbalanced quantizer (clustered
+    corpus) concentrates candidates in few lists; the salted join
+    histograms the candidate side and splits hot lists across tasks."""
+    from osm_addr_tools_spark.operators.joins import salted_join
+
     samp = np.stack(
         [r[0] for r in candidates.select(c_vec, c_id).orderBy(c_id).limit(sample).collect()]
     )
@@ -171,9 +193,11 @@ def ivf_ann_topk(
     q_assign = centroid_assign_udf(cent, n_probe)
     cb = candidates.withColumn("_list", c_assign(F.col(c_vec))[0])
     qb = queries.withColumn("_list", F.explode(q_assign(F.col(q_vec))))
-    pairs = qb.join(cb, "_list").withColumn(
-        "sim", cosine_col(F.col(q_vec), F.col(c_vec))
-    )
+    if salt:
+        pairs = salted_join(cb, qb, "_list", F.col(c_id), **salt_kw)
+    else:
+        pairs = qb.join(cb, "_list")
+    pairs = pairs.withColumn("sim", cosine_col(F.col(q_vec), F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return (
         pairs.dropDuplicates([q_id, c_id])
