@@ -411,8 +411,10 @@ def knn_join(
 
 
 def asof_latest(df: DataFrame, key: str, ts: str) -> DataFrame:
-    """Latest row per ``key`` by ``ts`` (deterministic: ties broken by the
-    full row hash is unnecessary — generator guarantees distinct ts; we
-    still order by ts desc then all columns for stability)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    """Latest row per ``key`` by ``ts``, deterministic under duplicate
+    timestamps: ties break on every remaining column ascending (a total
+    order as long as no two rows are fully identical — VERDICT r2 #5; the
+    docstring used to promise this without implementing it)."""
+    tie_cols = [F.col(c).asc() for c in df.columns if c not in (key, ts)]
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), *tie_cols)
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

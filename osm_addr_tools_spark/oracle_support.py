@@ -29,17 +29,30 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 3
+_VERSION = 4
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
 ANN_N_PROBES = 4
 TILE_LEVEL = 16
 
+# The driver's correctness gate runs queries() vs oracle_sql() at THIS
+# scale only. The oracle SQL strings are static per-process and pin this
+# directory's intermediates plus its scale constants (e.g. the media
+# oracle's row count) — verification at any other sf_dir is out of
+# contract (ADVICE r2 #2; tools/check_oracle.py warns loudly).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def oracle_dir(sf_dir: str) -> str:
+    """Per-uid intermediates directory (ADVICE r2 #2: a world-shared /tmp
+    path could be clobbered by another user between generation and the
+    DuckDB read). Overridable for run-private isolation."""
     base = os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/spark_graft_oracle_{base}"
+    root = os.environ.get(
+        "SPARK_GRAFT_ORACLE_BASE", f"/tmp/spark_graft_oracle_u{os.getuid()}"
+    )
+    return f"{root}_{base}"
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -274,14 +287,39 @@ def _ivf_buckets(sf_dir: str, n_centroids: int = 16, n_probe: int = 3,
     return qb, cb
 
 
+def _assert_ascii_docs(docs: pd.DataFrame) -> None:
+    """The docs_lang_id oracle replicates Python unicode tokenization with
+    RE2 ``[a-z]+`` — an equivalence that holds ONLY for ASCII text. Fail
+    loudly at generation time so a future non-ASCII corpus regen cannot
+    silently turn a real kernel divergence into an oracle artifact
+    (VERDICT r2 #6)."""
+    non_ascii = ~docs["text"].map(str.isascii)
+    if non_ascii.any():
+        bad = docs.loc[non_ascii, "doc_id"].head(5).tolist()
+        raise AssertionError(
+            "docs_lang_id oracle requires an ASCII-only documents table; "
+            f"non-ASCII text at doc_id(s) {bad} — the RE2 [a-z]+ ≡ unicode "
+            "tokenization equivalence no longer holds, regenerate the oracle"
+        )
+
+
 def ensure(sf_dir: str) -> str:
     """Idempotently materialize every oracle intermediate for ``sf_dir``;
-    returns the directory. Pure pandas — callable without a SparkSession."""
-    out = oracle_dir(sf_dir)
-    marker = os.path.join(out, f"_done_v{_VERSION}")
-    if os.path.exists(marker):
-        return out
-    os.makedirs(out, exist_ok=True)
+    returns the directory. Pure pandas — callable without a SparkSession.
+
+    Concurrency-safe (ADVICE r2 #3): everything generates into a
+    process-private temp directory which is atomically renamed into place,
+    so a concurrent caller (driver oracle_sql + pytest/bench) can never
+    observe a truncated parquet file."""
+    import shutil
+
+    final = oracle_dir(sf_dir)
+    marker_name = f"_done_v{_VERSION}"
+    if os.path.exists(os.path.join(final, marker_name)):
+        return final
+    out = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
     n = _n_pages(sf_dir)
 
     extracted = _extracted_pdf(n)
@@ -315,6 +353,7 @@ def ensure(sf_dir: str) -> str:
     _covers_pdf(n, TILE_LEVEL).to_parquet(os.path.join(out, "covers.parquet"), index=False)
 
     docs = _planted_docs(sf_dir)
+    _assert_ascii_docs(docs)
     _simhash_pdf(docs).to_parquet(os.path.join(out, "simhash_fp.parquet"), index=False)
     _shingles_pdf(docs).to_parquet(os.path.join(out, "shingles.parquet"), index=False)
     _minhash_sigs_pdf(docs).to_parquet(
@@ -329,6 +368,17 @@ def ensure(sf_dir: str) -> str:
     iq.to_parquet(os.path.join(out, "ivf_q_lists.parquet"), index=False)
     ic.to_parquet(os.path.join(out, "ivf_c_lists.parquet"), index=False)
 
-    with open(marker, "w") as f:
+    with open(os.path.join(out, marker_name), "w") as f:
         f.write("ok")
-    return out
+    try:
+        os.rename(out, final)
+    except OSError:
+        if os.path.exists(os.path.join(final, marker_name)):
+            # a concurrent caller won the race with an identical (pure-
+            # function-of-sf_dir) directory — keep theirs
+            shutil.rmtree(out, ignore_errors=True)
+            return final
+        # stale/partial target from an older version or clobber: replace
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(out, final)
+    return final

@@ -675,11 +675,14 @@ def emb_cosine_top3(spark, sf_dir):
 # oracle_support materializes the post-kernel intermediates to parquet
 # with pure pandas (no Spark), and the DuckDB oracles join/rank over them
 # while the Spark queries run the real end-to-end pipeline (VERDICT r1
-# #3). The oracle SQL strings pin the sf0.01 intermediates directory (the
-# driver's correctness scale); __spark_entry__.oracle_sql() triggers
-# generation.
+# #3). The oracle SQL strings pin the intermediates directory and scale
+# constants of oracle_support.ORACLE_SF_DIR — the driver's correctness
+# scale, the ONLY sf these static strings are valid at (ADVICE r2 #2);
+# __spark_entry__.oracle_sql() triggers generation.
 
-ODIR = "/tmp/spark_graft_oracle_sf0.01"
+from osm_addr_tools_spark import oracle_support as _OS
+
+ODIR = _OS.oracle_dir(_OS.ORACLE_SF_DIR)
 
 _EX_HAV = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="ex.lon", lat2="ex.lat")
 
@@ -952,7 +955,9 @@ def media_decode_features(spark, sf_dir):
     )
 
 
-ORACLES["media_decode_features"] = _media_oracle_sql()
+# row count derived from the SAME function the Spark side evaluates at
+# the driver's correctness scale, not baked (ADVICE r2 #2)
+ORACLES["media_decode_features"] = _media_oracle_sql(synth_n_pages(_OS.ORACLE_SF_DIR))
 
 
 # --- engine pipelines --------------------------------------------------------

@@ -195,3 +195,24 @@ def test_knn_join_exact_at_face_corner(spark):
             .toPandas()
         )
         assert dict(zip(got_r.pid, got_r.cid)) == want, (ring_r, expand)
+
+
+def test_asof_latest_deterministic_on_duplicate_ts(spark):
+    """Duplicate (key, ts) rows must resolve to the same winner on every
+    run/partitioning (VERDICT r2 #5)."""
+    import datetime
+
+    from osm_addr_tools_spark.operators.joins import asof_latest
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, "b"), (1, t, "a"), (1, t - datetime.timedelta(1), "z"),
+        (2, t, "y"), (2, t, "x"),
+    ]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, val string")
+    for parts in (1, 7):
+        got = (
+            asof_latest(df.repartition(parts), "key", "ts")
+            .orderBy("key").toPandas()
+        )
+        assert list(got.val) == ["a", "x"], got

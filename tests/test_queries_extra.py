@@ -43,3 +43,35 @@ def test_every_query_has_unique_alias_columns(spark):
 
 def test_oracles_subset_of_queries():
     assert set(Q.ORACLES) <= set(Q.QUERIES)
+
+
+def test_lang_id_oracle_asserts_ascii_precondition():
+    """Non-ASCII documents must fail oracle generation loudly, not silently
+    rot the docs_lang_id parity (VERDICT r2 #6)."""
+    import pandas as pd
+    import pytest
+
+    from osm_addr_tools_spark import oracle_support as OS
+
+    ok = pd.DataFrame({"doc_id": [1, 2], "text": ["plain ascii", "more text"]})
+    OS._assert_ascii_docs(ok)  # no raise
+    bad = pd.DataFrame({"doc_id": [1, 2], "text": ["fine", "ulica Długa 7"]})
+    with pytest.raises(AssertionError, match="ASCII-only"):
+        OS._assert_ascii_docs(bad)
+
+
+def test_oracle_ensure_atomic_and_idempotent(tmp_path, monkeypatch):
+    """ensure() must generate into a temp dir and atomically publish; a
+    second call must be a no-op returning the same directory."""
+    import os
+
+    from osm_addr_tools_spark import oracle_support as OS
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_BASE", str(tmp_path / "oracle"))
+    d1 = OS.ensure("/root/testdata/sf0.001")
+    assert os.path.exists(os.path.join(d1, f"_done_v{OS._VERSION}"))
+    assert not any(p.name.endswith(f".tmp.{os.getpid()}") for p in tmp_path.iterdir())
+    mtime = os.path.getmtime(os.path.join(d1, "extracted.parquet"))
+    d2 = OS.ensure("/root/testdata/sf0.001")
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "extracted.parquet")) == mtime

@@ -40,6 +40,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from osm_addr_tools_spark import oracle_support as OS
+
+    if os.path.basename(sf_dir.rstrip("/")) != os.path.basename(OS.ORACLE_SF_DIR):
+        print(
+            f"WARNING: oracle SQL strings pin intermediates + scale constants "
+            f"of {OS.ORACLE_SF_DIR}; the pipeline-tail oracles are OUT OF "
+            f"CONTRACT at {sf_dir} and will mismatch (ADVICE r2 #2)."
+        )
+
     from pyspark.sql import SparkSession
 
     spark = (
