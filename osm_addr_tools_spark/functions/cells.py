@@ -591,15 +591,24 @@ def cells_to_boxes(cells: np.ndarray):
 def cells_to_polygon(cells: np.ndarray):
     """C5: union of cell boxes → boundary rings (raster→vector).
 
-    Boundary tracing on the union of axis-aligned leaf-ij boxes (all cells
-    must share one face). Returns a list of rings, each a list of (lon, lat)
-    vertex pairs, outer boundaries counter-clockwise in ij space.
+    Boundary tracing on the union of axis-aligned leaf-ij boxes. A set
+    spanning multiple cube faces (seam features) is traced per face and
+    the rings concatenated: the pieces share the seam edge geometrically,
+    and every per-face ring is a valid boundary of the union restricted to
+    that face — downstream even-odd containment over ALL rings is exact.
+    Returns a list of rings, each a list of (lon, lat) vertex pairs, outer
+    boundaries counter-clockwise in ij space.
     """
-    if np.asarray(cells).size == 0:
+    cells = np.asarray(cells)
+    if cells.size == 0:
         return []
+    face_of = (cells.astype(np.uint64) >> np.uint64(POS_BITS)).astype(np.int64)
+    if not (face_of == face_of[0]).all():
+        out = []
+        for f in np.unique(face_of):
+            out.extend(cells_to_polygon(cells[face_of == f]))
+        return out
     face, i0, j0, i1, j1 = cells_to_boxes(cells)
-    if not (face == face[0]).all():
-        raise ValueError("cells_to_polygon requires single-face cell sets")
     f = int(face[0])
     # collect directed boundary edges (edges not shared by two boxes)
     edge_count: dict[tuple, int] = {}

@@ -62,6 +62,17 @@ def cell_ring_udf(r: int):
     return ring
 
 
+def cell_center_udf():
+    """cell → struct(lon, lat) of the cell center (C1 inverse)."""
+
+    @pandas_udf("struct<lon:double,lat:double>")
+    def center(cell: pd.Series) -> pd.DataFrame:
+        lon, lat = C.cell_center_lonlat(cell.to_numpy(np.int64))
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return center
+
+
 def cover_polygon_udf(level: int):
     """rings (array<array<struct<lon,lat>>>) → array<long> cover cells."""
 

@@ -383,6 +383,38 @@ def cube_order_priority(spark, sf_dir):
 
 
 @q(
+    "grouping_sets_order_year",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)),
+                            (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)), ())
+    """,
+)
+def grouping_sets_order_year(spark, sf_dir):
+    # A5 explicit arbitrary GROUPING SETS (SURVEY §2.5 names it alongside
+    # rollup/cube; VERDICT r2 "missing" #3) — an irregular set mix neither
+    # rollup nor cube can express, via Spark SQL's native syntax so
+    # Catalyst plans the Expand the same way it does for rollup/cube
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus, o_year), (o_year), ())
+        """
+    )
+
+
+@q(
     "nation_customer_segments",
     """
     SELECT c_nationkey, CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
@@ -1095,6 +1127,40 @@ def tile_assignments(spark, sf_dir):
 
     n = synth_n_pages(sf_dir)
     return run_tile_polygons(S.synth_buildings(spark, n), level=16)
+
+
+@q(
+    "tile_untile_roundtrip",
+    f"""
+    SELECT feature_id, tile_id FROM read_parquet('{ODIR}/covers.parquet')
+    """,
+)
+def tile_untile_roundtrip(spark, sf_dir):
+    """C5 driver gate (VERDICT r2 missing #4): cover → cells_to_polygon
+    boundary trace → keep the cover cells whose CENTER ray-casts inside
+    the traced rings. A correct trace yields exactly the original cover
+    (cell centers are strictly interior to their own cells and the traced
+    boundary runs along cell edges), so the oracle is the covers table —
+    but unlike tile_assignments' passthrough, the Spark side here EXECUTES
+    the trace + containment, which the oracle never does: a wrong C5
+    boundary drops/keeps cells and hash-mismatches."""
+    from osm_addr_tools_spark.operators.joins import (
+        cell_center_udf, pip_udf, rings_to_edges_udf,
+    )
+    from osm_addr_tools_spark.plans.tile import run_tile_polygons, run_untile
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    tiles = run_tile_polygons(S.synth_buildings(spark, n), level=16)
+    traced = run_untile(tiles).withColumn(
+        "_edges", rings_to_edges_udf()(F.col("rings"))
+    ).select("feature_id", "_edges")
+    cent = tiles.withColumn("_c", cell_center_udf()(F.col("tile_id")))
+    return (
+        cent.join(traced.hint("shuffle_hash"), "feature_id")
+        .where(pip_udf()(F.col("_c.lon"), F.col("_c.lat"), F.col("_edges")))
+        .select("feature_id", "tile_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

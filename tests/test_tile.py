@@ -79,3 +79,38 @@ def test_tile_density_feeds_hot_cells(spark):
     top = dens.first()
     # the deliberate town-0 hot box concentrates features in one coarse cell
     assert top.n_features > 5
+
+
+def test_untile_roundtrip_multiface_seam(spark):
+    """C5 on a cell set spanning two cube faces (seam building): per-face
+    rings whose union contains exactly the input cells' centers."""
+    import numpy as np
+
+    from osm_addr_tools_spark.functions import cells as C
+    from osm_addr_tools_spark.functions import geo as G
+
+    # straddle the face 0/1 boundary at lon=45
+    lon = np.array([44.9995, 44.9999, 45.0001, 45.0005])
+    lat = np.full(4, 10.0)
+    cells = np.unique(C.cell_encode(lon, lat, 16))
+    faces = (cells.astype(np.uint64) >> np.uint64(C.POS_BITS))
+    assert len(set(faces.tolist())) == 2  # genuinely multi-face
+    rings = C.cells_to_polygon(cells)
+    assert len(rings) >= 2
+    clon, clat = C.cell_center_lonlat(cells)
+    # each center inside (even-odd over all rings)
+    for x, y in zip(clon, clat):
+        parity = 0
+        for ring in rings:
+            parity += G.points_in_ring(np.array([x]), np.array([y]),
+                                       np.array(ring))[0]
+        assert parity % 2 == 1, (x, y)
+    # neighbors outside the union stay outside
+    nb = np.setdiff1d(C.cell_neighbors(cells).ravel(), cells)
+    nlon, nlat = C.cell_center_lonlat(nb)
+    for x, y in zip(nlon, nlat):
+        parity = 0
+        for ring in rings:
+            parity += G.points_in_ring(np.array([x]), np.array([y]),
+                                       np.array(ring))[0]
+        assert parity % 2 == 0, (x, y)
