@@ -29,6 +29,7 @@ def run_bench(cpus: int, n_pages: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_N_PAGES=str(n_pages),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_QUERY_REPEATS="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -62,6 +63,16 @@ def main() -> int:
     thr_lo = lo["throughput_rows_per_sec"]
     thr_hi = hi["throughput_rows_per_sec"]
     eff = (thr_hi / thr_lo) / 4.0
+    # median-of-N alongside best-of-N (ADVICE r2 #4): best filters jitter
+    # but is noise-sensitive; both must clear the gate for the claim to
+    # stand on its own
+    lo_med = sorted(lo_runs, key=lambda r: r["value"])[len(lo_runs) // 2]
+    hi_med = sorted(hi_runs, key=lambda r: r["value"])[len(hi_runs) // 2]
+    eff_med = (hi_med["throughput_rows_per_sec"] / lo_med["throughput_rows_per_sec"]) / 4.0
+    # round-1's build-inclusive definition, kept comparable across rounds
+    bi_lo = min(r["queries"]["conflate_join"] for r in lo_runs)
+    bi_hi = min(r["queries"]["conflate_join"] for r in hi_runs)
+    eff_build_incl = (bi_lo / bi_hi) / 4.0
 
     os.makedirs("BENCH", exist_ok=True)
     import pyspark
@@ -93,10 +104,19 @@ query-compilation time is excluded from engine throughput benchmarks.
 
 | parallelism | exec wall (s) | build+exec (s) | match rows | throughput (rows/s) |
 |---|---|---|---|---|
-| local[{n}] | {lo['value']} | {lo['queries']['conflate_join']} | {lo['match_rows']} | {thr_lo} |
-| local[{4 * n}] | {hi['value']} | {hi['queries']['conflate_join']} | {hi['match_rows']} | {thr_hi} |
+| local[{n}] best-of-{repeats} | {lo['value']} | {lo['queries']['conflate_join']} | {lo['match_rows']} | {thr_lo} |
+| local[{4 * n}] best-of-{repeats} | {hi['value']} | {hi['queries']['conflate_join']} | {hi['match_rows']} | {thr_hi} |
+| local[{n}] median-of-{repeats} | {lo_med['value']} | {lo_med['queries']['conflate_join']} | {lo_med['match_rows']} | {lo_med['throughput_rows_per_sec']} |
+| local[{4 * n}] median-of-{repeats} | {hi_med['value']} | {hi_med['queries']['conflate_join']} | {hi_med['match_rows']} | {hi_med['throughput_rows_per_sec']} |
 
-**Scaling efficiency N→4N = (thr_4N / thr_N) / 4 = {eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency N→4N = (thr_4N / thr_N) / 4** (target ≥ 0.8, all three
+definitions reported per ADVICE r2 #4 — best-of alone is noise-sensitive):
+
+| definition | efficiency |
+|---|---|
+| exec wall, best-of-{repeats} | {eff:.3f} |
+| exec wall, median-of-{repeats} | {eff_med:.3f} |
+| build+exec wall (round-1 definition), best-of-{repeats} | {eff_build_incl:.3f} |
 
 ## Per-query walls (seconds, execution / build+exec)
 
@@ -123,7 +143,9 @@ query-compilation time is excluded from engine throughput benchmarks.
   up to 3× run-to-run jitter. All observed headline walls (s):
   local[{n}] = {[r['value'] for r in lo_runs]}, local[{4 * n}] = {[r['value'] for r in hi_runs]}.
 """)
-    print(json.dumps({"eff": round(eff, 3), "thr_lo": thr_lo, "thr_hi": thr_hi,
+    print(json.dumps({"eff": round(eff, 3), "eff_median": round(eff_med, 3),
+                      "eff_build_incl": round(eff_build_incl, 3),
+                      "thr_lo": thr_lo, "thr_hi": thr_hi,
                       "lo_wall": lo["value"], "hi_wall": hi["value"]}))
     return 0
 
