@@ -226,6 +226,52 @@ def events_lag_delta(spark, sf_dir):
 
 
 @q(
+    "events_change_ledger",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(chg) AS BIGINT) AS n_changes,
+           MIN(ts_us) AS first_us,
+           MAX(ts_us) AS last_us
+    FROM (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def events_change_ledger(spark, sf_dir):
+    """Batch face of the §2.10 stateful change ledger
+    (streaming.ingest.ChangeLedgerProcessor): per key — event count,
+    payload-transition count (first event counts as change #1), first/last
+    event time. Tie-safe: the window orders by (ts, event_id), a total
+    order both engines reproduce exactly. The streaming twin is parity-
+    gated in pytest across forced multi-microbatch runs; this entry gives
+    the ledger semantics a DuckDB hash gate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagt = F.lag("event_type").over(w)
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "chg", F.when(lagt.isNull() | (lagt != F.col("event_type")), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("chg").cast("bigint").alias("n_changes"),
+            # events.ts is TIMESTAMP_NTZ; cast→TIMESTAMP under the UTC
+            # session zone is the identity wall-clock mapping DuckDB's
+            # epoch_us applies
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+        )
+    )
+
+
+@q(
     "events_running_cents",
     """
     SELECT event_id,
@@ -1160,6 +1206,67 @@ def tile_untile_roundtrip(spark, sf_dir):
         cent.join(traced.hint("shuffle_hash"), "feature_id")
         .where(pip_udf()(F.col("_c.lon"), F.col("_c.lat"), F.col("_edges")))
         .select("feature_id", "tile_id")
+    )
+
+
+# 4×4 interior sample grid at golden-ratio bbox fractions: irrational
+# fractions of an arbitrary-offset rectangle can't land exactly on a
+# dyadic cell boundary, so the sampled points sit strictly inside both
+# the polygon and whichever cell encodes them.
+_COVER_FRACS = (0.6180339887498949, 0.2360679774997897,
+                0.8541019662496846, 0.4721359549995794)
+
+
+@q(
+    "tile_cover_superset",
+    f"""
+    SELECT building_id AS feature_id,
+           CAST({len(_COVER_FRACS) ** 2} AS BIGINT) AS n_covered
+    FROM read_parquet('{ODIR}/buildings_bbox.parquet')
+    WHERE building_id < 1000000000
+    """,
+)
+def tile_cover_superset(spark, sf_dir):
+    """Independent C4 cover gate (ADVICE r2 #1): tile_assignments' oracle
+    is a passthrough of the materialized cover, so it only gates Spark
+    distribution. Here the oracle is a CONSTANT — every regular building
+    must cover all 16 sampled interior points — derived without any
+    cell/cover math: regular synthetic buildings are axis-aligned
+    rectangles, so a point at bbox fractions (fx, fy), 0 < f < 1, is
+    provably interior. The Spark side executes cell_encode + the scanline
+    cover + the join; a cover that misses any cell containing an interior
+    point drops below 16 and hash-mismatches. (Special geometries — holes,
+    L-shape, face seam — stay under the pytest property suite.)"""
+    from osm_addr_tools_spark.operators.joins import cell_encode_udf
+    from osm_addr_tools_spark.plans.tile import run_tile_polygons
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    b = S.synth_buildings(spark, n).where(F.col("building_id") < 1_000_000_000)
+    covers = run_tile_polygons(b, level=16)
+    lons = F.expr("transform(rings[0], p -> p.lon)")
+    lats = F.expr("transform(rings[0], p -> p.lat)")
+    bb = b.select(
+        "building_id",
+        F.array_min(lons).alias("min_lon"), F.array_max(lons).alias("max_lon"),
+        F.array_min(lats).alias("min_lat"), F.array_max(lats).alias("max_lat"),
+    )
+    fracs = F.array(*[F.lit(v) for v in _COVER_FRACS])
+    pts = (
+        bb.select("*", F.explode(fracs).alias("fx"))
+        .select("*", F.explode(fracs).alias("fy"))
+        .select(
+            F.col("building_id").alias("feature_id"),
+            (F.col("min_lon") + F.col("fx") * (F.col("max_lon") - F.col("min_lon"))).alias("plon"),
+            (F.col("min_lat") + F.col("fy") * (F.col("max_lat") - F.col("min_lat"))).alias("plat"),
+        )
+    )
+    pts = pts.withColumn("tile_id", cell_encode_udf(16)(F.col("plon"), F.col("plat")))
+    return (
+        pts.select("feature_id", "tile_id")
+        .join(covers.hint("shuffle_hash"), ["feature_id", "tile_id"])
+        .groupBy("feature_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
     )
 
 

@@ -75,6 +75,147 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, t):
+        self.v = t
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_change_ledger_processor_fold(spark):
+    """ChangeLedgerProcessor kernel vs the batch twin, cross-batch: feed
+    the processor each url's rows in TWO event-time-ordered batches
+    through a fake state handle (the TWS runtime needs protobuf, absent in
+    this sandbox — see test_change_ledger_stream_matches_batch) and
+    compare the final ledgers against change_ledger_batch on the union."""
+    import pandas as pd
+
+    n = 120
+    p = S.synth_pages(spark, n)
+    mut = (
+        p.where(F.col("url").endswith("0"))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3650 DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    prep = lambda df: df.select(
+        F.col("url").alias("key"),
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.xxhash64("text").alias("fp"),
+    ).toPandas()
+    b1, b2 = prep(p), prep(mut)
+    assert len(b2) > 5
+
+    procs: dict = {}
+    last_out: dict = {}
+    for batch in (b1, b2):
+        for key, pdf in batch.groupby("key"):
+            if key not in procs:
+                pr = ST.ChangeLedgerProcessor()
+                pr.init(_FakeHandle())
+                procs[key] = pr
+            out = list(procs[key].handleInputRows((key,), iter([pdf]), None))
+            last_out[key] = out[-1]
+    got = (
+        pd.concat(last_out.values(), ignore_index=True)
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    want = (
+        ST.change_ledger_batch(p.unionByName(mut))
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    cols = ["key", "first_us", "last_us", "n_crawls", "n_changes"]
+    assert got[cols].equals(want[cols])
+    mut_keys = want[want.key.str.endswith("0")]
+    assert (mut_keys.n_crawls >= 2).all() and (mut_keys.n_changes >= 2).all()
+    assert (want.n_changes == 1).any()
+
+
+def test_change_ledger_stream_matches_batch(spark, tmp_path):
+    """§2.10 transformWithStateInPandas: the per-url crawl ledger folded
+    across TWO forced microbatches (maxFilesPerTrigger=1) equals the batch
+    twin over the union — state genuinely persists between batches (the
+    second file re-crawls a subset with mutated text, so its urls' ledgers
+    must continue from batch-1 state, not restart).
+
+    The TWS runtime's state-server protocol needs google.protobuf, which
+    is not installed in this sandbox (and pip install is off-limits) —
+    collected-and-skipped here, exactly like the Iceberg binding test;
+    runs the day the dependency exists. The processor kernel itself is
+    gated by test_change_ledger_processor_fold above."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in sandbox)",
+    )
+    n = 120
+    src = str(tmp_path / "pages_ledger")
+    p = S.synth_pages(spark, n)
+    # re-crawls far in the future: every batch-2 ts > every batch-1 ts, so
+    # cross-batch arrival order equals event-time order (the semantics the
+    # batch twin computes; late data is the watermark's job, not state's)
+    mut = (
+        p.where(F.col("url").endswith("0"))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3650 DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+        .withColumn("html", F.col("html"))
+    )
+    p.coalesce(1).write.mode("append").parquet(src)
+    import time as _time
+
+    _time.sleep(1.2)  # file-source batch order follows mtime
+    mut.coalesce(1).write.mode("append").parquet(src)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ST.read_pages_stream(spark, src, maxFilesPerTrigger=1)
+        led = ST.change_ledger_stream(stream)
+        q = (
+            led.writeStream.format("memory")
+            .queryName("ledger_stream")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("ledger_stream").toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # update mode: keep the last emission per key (n_crawls is monotone)
+    got = got.sort_values("n_crawls").groupby("key", as_index=False).last()
+    want = ST.change_ledger_batch(spark.read.parquet(src)).toPandas()
+    cols = ["key", "first_us", "last_us", "n_crawls", "n_changes"]
+    got = got[cols].sort_values("key").reset_index(drop=True)
+    want = want[cols].sort_values("key").reset_index(drop=True)
+    assert got.equals(want)
+    # the mutated urls must show 2 crawls and 2 content changes
+    mut_urls = want[want.key.str.endswith("0")]
+    assert (mut_urls.n_crawls >= 2).all() and (mut_urls.n_changes >= 2).all()
+    # and some batch-1-only urls exist with a single change
+    assert (want.n_changes == 1).any()
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     n = 200
     src = str(tmp_path / "pages2")
