@@ -132,8 +132,9 @@ definitions reported per ADVICE r2 #4 — best-of alone is noise-sensitive):
 
 - Throughput = conflation match rows / pipeline wall; the pipeline includes
   synthetic-page generation, X1/X2 extraction, geocode broadcast join, key
-  equi-join, cell-bucketed PIP containment join (level 19), 3×3-neighborhood
-  kNN join (level sized to d_max=10 m), and the precedence projection.
+  equi-join, cell-bucketed PIP containment join (level 19), ring kNN join
+  (level sized so ring_r·min_edge ≥ d_max=10 m), and the precedence
+  projection.
 - Fixed costs that do NOT grow with data (Python worker cold-start ≈1.5 s
   per worker × cores, Spark session setup) are included in the walls, which
   UNDERSTATES large-scale efficiency; at 10^12-doc scale these amortize to
