@@ -140,6 +140,11 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         "geo_knn_nearest_supplier": lambda: Q.QUERIES["geo_knn_nearest_supplier"](spark, sf_dir),
         "geo_distance_band_count": lambda: Q.QUERIES["geo_distance_band_count"](spark, sf_dir),
         "emb_cosine_top3": lambda: Q.QUERIES["emb_cosine_top3"](spark, sf_dir),
+        # the LLM-training-data operator families are graded first-class:
+        # measure the scale paths (banded minhash + CC grouping, LSH ANN),
+        # not just their correctness gates
+        "dedup_minhash_components": lambda: Q.QUERIES["dedup_minhash_components"](spark, sf_dir),
+        "emb_ann_lsh_top3": lambda: Q.QUERIES["emb_ann_lsh_top3"](spark, sf_dir),
     }
 
 

@@ -350,3 +350,85 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-group formation: connected components over a pair set
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair set — the group-forming
+    step every dedup pipeline needs after candidate pairs (MinHash, SimHash,
+    Jaccard families above emit pairs; retention policy needs CLUSTERS:
+    near-duplication is not transitive, so A~B, B~C must land A, B, C in one
+    group even when A~C was never emitted).
+
+    Returns (v, component) for every vertex appearing in ``edges``,
+    component = the minimum vertex id in its component (deterministic
+    canonical label).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round (1) lowers every vertex's label to the minimum label in its
+    closed neighborhood (one equi-join on the vertex id + one hash agg) and
+    (2) replaces each label by its label's label (one self-join), the
+    classic doubling step that collapses label chains, bounding rounds by
+    O(log(longest chain)) instead of O(diameter). All shuffles key on
+    vertex ids — per-vertex state, no hot keys beyond input skew (a
+    celebrity vertex's edge fan-in is combined map-side by the min agg).
+
+    Driver-side per-round work: one scalar convergence count (bounded
+    metadata action, ≤ ``max_iter`` rounds) and a persist of the new label
+    table (lineage truncation — iterative plans otherwise grow
+    per-round; the production shape is a per-round checkpoint write).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
+    labels = labels.persist()
+    labels.count()
+    e = e.persist()
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        new = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least("lbl", "_nbr").alias("lbl"))
+        )
+        # pointer jump: lbl <- lbl(lbl); labels always contain every lbl
+        # value (labels are vertex ids), so the inner join is total
+        new = (
+            new.join(
+                labels.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")),
+                "lbl",
+            )
+            .select("u", F.least("lbl", "_lbl2").alias("lbl"))
+        )
+        new = new.persist()
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "u")
+            .where(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    e.unpersist()
+    # the final label table STAYS persisted: it is the lineage-truncation
+    # point for the whole iterative chain — unpersisting here would make
+    # the caller's first action re-run every round recursively
+    return labels.select(F.col("u").alias("v"), F.col("lbl").alias("component"))

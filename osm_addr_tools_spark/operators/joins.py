@@ -51,6 +51,17 @@ def cell_neighbors_udf():
     return nbr
 
 
+def cell_parent_udf(level: int):
+    """cell → ancestor id at ``level`` (C2; pure id arithmetic kernel)."""
+
+    @pandas_udf("long")
+    def parent(cell: pd.Series) -> pd.Series:
+        out = C.cell_parent(cell.to_numpy(np.int64).astype(np.uint64), level)
+        return pd.Series(out.astype(np.int64))
+
+    return parent
+
+
 def cell_ring_udf(r: int):
     """cell → array of all same-level cells within Chebyshev distance r,
     including the cell itself ((2r+1)² block, face-wrap correct)."""

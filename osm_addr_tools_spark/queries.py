@@ -814,6 +814,49 @@ def dedup_minhash_lsh(spark, sf_dir):
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
 
 
+def _minhash_components_oracle_sql() -> str:
+    """Transitive closure of the minhash pair set as a DuckDB recursive
+    CTE: reach(u, r) saturates reachability over the symmetrized edges;
+    MIN over reachable = the component's canonical (minimum) id — the
+    same labels the engine's iterative min-propagation converges to."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """
+
+
+@q("dedup_minhash_components", None)
+def dedup_minhash_components(spark, sf_dir):
+    """Dedup-GROUP formation: near-duplication is not transitive, so the
+    pair families (minhash/simhash/jaccard) need a connected-components
+    pass to turn pairs into retention clusters (A~B, B~C ⇒ {A,B,C} even
+    when A~C was never emitted). Engine: iterative min-label propagation
+    with pointer jumping (operators/dedup.py connected_components); oracle:
+    recursive-CTE transitive closure over the SAME pair set."""
+    from osm_addr_tools_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+    return connected_components(pairs.select("a", "b")).select(
+        F.col("v").alias("doc_id"), "component"
+    )
+
+
+ORACLES["dedup_minhash_components"] = _minhash_components_oracle_sql()
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
@@ -1207,6 +1250,61 @@ def tile_untile_roundtrip(spark, sf_dir):
         .where(pip_udf()(F.col("_c.lon"), F.col("_c.lat"), F.col("_edges")))
         .select("feature_id", "tile_id")
     )
+
+
+def _tile_pyramid_oracle_sql() -> str:
+    """C2 driver gate: parent ids via INDEPENDENT SQL bit arithmetic —
+    for a fixed level, parent(cell) = (cell & -lsb) | lsb with lsb a
+    literal; two's-complement BIGINT ops reproduce the uint64 kernel
+    bit-for-bit. The Spark side runs the numpy cell_parent kernel, so a
+    C2 arithmetic bug hash-mismatches here."""
+    from osm_addr_tools_spark.functions.cells import lsb_for_level
+
+    arms = []
+    for lvl in (16, 14, 12):
+        lsb = lsb_for_level(lvl)
+        arms.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS lvl, "
+            f"(tile_id & {-lsb}) | {lsb} AS tile, feature_id FROM t"
+        )
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH t AS (SELECT feature_id, tile_id FROM read_parquet('{ODIR}/covers.parquet'))
+    SELECT lvl, tile, CAST(COUNT(DISTINCT feature_id) AS BIGINT) AS n_features
+    FROM ({union})
+    GROUP BY lvl, tile
+    """
+
+
+@q("tile_pyramid", None)
+def tile_pyramid(spark, sf_dir):
+    """Density pyramid (hypertable-style rollup): level-16 tile
+    assignments rolled up to levels 14 and 12 via C2 cell_parent, counting
+    DISTINCT features per coarser cell (a feature spanning several child
+    cells counts once in the parent). Spark runs the numpy C2 kernel
+    behind an Arrow UDF; the oracle recomputes parents with plain SQL bit
+    arithmetic — a kernel-independent C2 gate (COVERAGE §2.3)."""
+    from osm_addr_tools_spark.operators.joins import cell_parent_udf
+    from osm_addr_tools_spark.plans.tile import run_tile_polygons
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    t = run_tile_polygons(S.synth_buildings(spark, n), level=16)
+    parts = [
+        t.select(
+            F.lit(lvl).cast("bigint").alias("lvl"),
+            cell_parent_udf(lvl)(F.col("tile_id")).alias("tile"),
+            "feature_id",
+        )
+        for lvl in (16, 14, 12)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.groupBy("lvl", "tile").agg(
+        F.count_distinct("feature_id").alias("n_features")
+    )
+
+
+ORACLES["tile_pyramid"] = _tile_pyramid_oracle_sql()
 
 
 # 4×4 interior sample grid at golden-ratio bbox fractions: irrational

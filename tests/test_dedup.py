@@ -269,3 +269,50 @@ def test_ann_ivf_salted_equals_unsalted(spark, emb_skewed):
     ).toPandas()
     key = lambda d: sorted(map(tuple, d[["vec_id", "cand_id"]].to_numpy()))
     assert key(plain) == key(salted)
+
+
+def _uf_components(edges):
+    """Pure-Python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Long chain (pointer-jump stress: diameter 12 ≫ log rounds), two
+    islands, and a triangle — labels must equal the union-find reference."""
+    edges = (
+        [(i, i + 1) for i in range(10, 22)]  # chain 10..22
+        + [(1, 2), (2, 3), (3, 1)]           # triangle
+        + [(50, 60)]                          # island pair
+    )
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    got = {
+        r.v: r.component
+        for r in D.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+    assert got[21] == 10 and got[3] == 1 and got[60] == 50
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 80, size=(150, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    got = {r.v: r.component for r in D.connected_components(df).collect()}
+    assert got == _uf_components(edges)
