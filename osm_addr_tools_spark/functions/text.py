@@ -136,19 +136,52 @@ def lang_id(text: pd.Series) -> pd.Series:
     return text.map(one).astype("object")
 
 
-def quality_score(text: pd.Series) -> pd.Series:
-    """Deterministic [0,1] quality heuristic: mean of
-    length-band score, alpha ratio, and non-excessive-punctuation score."""
+_STOPWORDS_ALL = frozenset().union(*_LANG_PROFILES.values())
+
+
+def quality_components(text: pd.Series) -> pd.DataFrame:
+    """Deterministic quality components (driver mandate: length / punct /
+    stopword ratios). Raw float64 — callers round JVM/SQL-side so both
+    engines round the SAME bits with the SAME half-up rule:
+
+    - len_score     = min(len/1000, 1)
+    - alpha_ratio   = letters/len           (0 when empty)
+    - punct_score   = 1 - min(punct/len*4, 1)
+    - stopword_ratio= stopword words / words (0 when no words)
+    - quality       = (len_score + alpha_ratio + punct_score
+                       + min(stopword_ratio*5, 1)) / 4
+    """
     t = text.fillna("")
     n = t.str.len().astype("float64")
     alpha = t.str.count(r"[^\W\d_]").astype("float64")
     punct = t.str.count(r"[^\w\s]").astype("float64")
+
+    def stop_ratio(s: str) -> float:
+        words = [w.lower() for w in _WORD_RE.findall(s)]
+        if not words:
+            return 0.0
+        return sum(1 for w in words if w in _STOPWORDS_ALL) / len(words)
+
+    stop = t.map(stop_ratio).astype("float64")
     len_score = np.clip(n / 1000.0, 0.0, 1.0)
     alpha_ratio = np.where(n > 0, alpha / n, 0.0)
     punct_score = 1.0 - np.clip(np.where(n > 0, punct / n, 0.0) * 4.0, 0.0, 1.0)
-    return pd.Series(
-        (len_score + alpha_ratio + punct_score) / 3.0, index=text.index, dtype="float64"
+    quality = (len_score + alpha_ratio + punct_score + np.clip(stop * 5.0, 0.0, 1.0)) / 4.0
+    return pd.DataFrame(
+        {
+            "len_score": len_score,
+            "alpha_ratio": alpha_ratio,
+            "punct_score": punct_score,
+            "stopword_ratio": stop,
+            "quality": quality,
+        },
+        index=text.index,
     )
+
+
+def quality_score(text: pd.Series) -> pd.Series:
+    """Composite [0,1] quality heuristic (see quality_components)."""
+    return quality_components(text)["quality"]
 
 
 def token_count(text: pd.Series) -> pd.Series:
@@ -166,6 +199,49 @@ def fingerprint64(text: pd.Series) -> pd.Series:
         return v - (1 << 64) if v >= (1 << 63) else v
 
     return text.map(one).astype("int64")
+
+
+_WINNOW_B = np.uint64(257)
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> list[tuple[int, int]]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    public algorithm): a polynomial ROLLING hash over every k-byte gram
+    (base 257, natural uint64 wraparound), then in every window of ``w``
+    consecutive gram hashes keep the minimum, rightmost on ties. The
+    selected (position, hash) set is shift-resistant — an insertion far
+    from a passage leaves that passage's fingerprints intact, which exact
+    whole-document hashing (fingerprint64) cannot do.
+
+    Windows are FULL windows only (s ∈ [0, n_grams-w]); documents with
+    fewer than ``w`` grams fall back to one truncated window (global
+    rightmost min); documents shorter than ``k`` bytes have no grams and
+    no fingerprints. Returns sorted (pos, fp) with pos 0-based and fp the
+    uint64 hash two's-complemented into int64.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.size
+    if n < k:
+        return []
+    grams = sliding_window_view(data, k)
+    powers = np.power(_WINNOW_B, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    h = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    g = h.size
+    if g <= w:
+        rev = h[::-1]
+        positions = np.array([g - 1 - int(np.argmin(rev))])
+    else:
+        n_windows = g - w + 1
+        win = sliding_window_view(h, w)[:n_windows]
+        pos_in_win = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        positions = np.unique(pos_in_win + np.arange(n_windows))
+    out = []
+    for p in positions:
+        v = int(h[int(p)])
+        out.append((int(p), v - (1 << 64) if v >= (1 << 63) else v))
+    return sorted(out)
 
 
 def shingles(text: str, k: int = 5) -> set[str]:

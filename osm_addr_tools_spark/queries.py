@@ -667,36 +667,173 @@ def docs_fingerprint(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9_ \\t\\n\\r]')) AS BIGINT) AS n_tokens_bpe,
            CAST(length(text) AS BIGINT) AS n_chars_engine
     FROM documents
     """,
 )
 def docs_token_stats(spark, sf_dir):
+    """Token counting, both mandate variants: whitespace split (JVM split)
+    and the BPE-ish regex (word pieces | numbers | single symbols) — the
+    latter runs the PYTHON kernel (functions.text.token_count) while the
+    oracle re-derives it with DuckDB RE2 using explicit ASCII classes
+    (documents are ASCII, asserted at oracle generation), so the kernel's
+    tokenizer is driver-gated, not just unit-tested."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_addr_tools_spark.functions import text as T
+
+    @pandas_udf("long")
+    def ntok(t):
+        return T.token_count(t)
+
     return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens_ws"),
+        ntok("text").alias("n_tokens_bpe"),
         F.length("text").cast("bigint").alias("n_chars_engine"),
     )
 
 
 @q(
     "docs_quality_ascii",
-    """
-    SELECT doc_id,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-           round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS alpha_ratio
-    FROM documents WHERE length(text) > 0
-    """,
+    None,  # oracle registered below (needs the shared stopword literal)
 )
 def docs_quality_ascii(spark, sf_dir):
+    """Quality scoring, all three mandate ratios (length / punct /
+    stopword) + the composite — the Spark side runs the PYTHON kernel
+    (functions.text.quality_components) while the oracle re-derives every
+    component in DuckDB SQL (POSIX [:space:] ≡ Python \\s on the
+    ASCII-asserted corpus; the stopword set is shared spec, the
+    computation is not). Raw kernel doubles are rounded JVM-side so both
+    engines round identical bits half-up."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_addr_tools_spark.functions import text as T
+
+    @pandas_udf(
+        "struct<len_score:double,alpha_ratio:double,punct_score:double,"
+        "stopword_ratio:double,quality:double>"
+    )
+    def qc(t):
+        return T.quality_components(t)
+
     d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint")
-    return d.select(
-        "doc_id",
-        alpha.alias("n_alpha"),
-        F.round(alpha.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+    return (
+        d.withColumn("_q", qc("text"))
+        .select(
+            "doc_id",
+            alpha.alias("n_alpha"),
+            F.round(F.col("_q.alpha_ratio"), 6).alias("alpha_ratio"),
+            F.round(F.col("_q.punct_score"), 6).alias("punct_score"),
+            F.round(F.col("_q.stopword_ratio"), 6).alias("stopword_ratio"),
+            F.round(F.col("_q.quality"), 6).alias("quality"),
+        )
     )
+
+
+def _quality_oracle_sql() -> str:
+    from osm_addr_tools_spark.functions.text import _STOPWORDS_ALL
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS_ALL))
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_[:space:]]')) AS DOUBLE) AS punct,
+             regexp_extract_all(lower(text), '[a-z]+') AS words
+      FROM documents WHERE length(text) > 0
+    ), c AS (
+      SELECT doc_id, n, alpha,
+             least(n / 1000.0, 1.0) AS len_score,
+             alpha / n AS alpha_ratio,
+             1.0 - least(punct / n * 4.0, 1.0) AS punct_score,
+             CASE WHEN len(words) > 0
+                  THEN CAST(len(list_filter(words, w -> w IN ({stoplist}))) AS DOUBLE)
+                       / len(words)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM q
+    )
+    SELECT doc_id,
+           CAST(alpha AS BIGINT) AS n_alpha,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(punct_score, 6) AS punct_score,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round((len_score + alpha_ratio + punct_score
+                  + least(stopword_ratio * 5.0, 1.0)) / 4.0, 6) AS quality
+    FROM c
+    """
+
+
+ORACLES["docs_quality_ascii"] = _quality_oracle_sql()
+
+
+def _winnow_oracle_sql(k: int = 8, w: int = 16) -> str:
+    """Independent SQL winnowing: the polynomial rolling hash is
+    recomputed per gram with HUGEINT arithmetic (ascii() bytes × literal
+    base powers, mod 2^64), window minima via a ROWS frame over FULL
+    windows only (short docs fall back to one truncated window), rightmost
+    tie via max(i) among in-window grams matching the window min. The
+    engine runs the vectorized numpy kernel — nothing is shared but the
+    (k, w, base) spec constants."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS HUGEINT) * {257 ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) >= {k}
+    ),
+    g AS (
+      SELECT doc_id, i, n - {k} + 1 AS ng,
+             ({terms}) % {2 ** 64} AS h
+      FROM d, UNNEST(range(1, n - {k} + 2)) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, i AS s, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+      FROM g
+      QUALIFY s <= greatest(ng - {w - 1}, 1)
+    ),
+    sel AS (
+      SELECT wm.doc_id, wm.s, wm.mh, max(g.i) AS p
+      FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.mh
+                    AND g.i BETWEEN wm.s AND wm.s + {w - 1}
+      GROUP BY wm.doc_id, wm.s, wm.mh
+    )
+    SELECT DISTINCT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           CAST(CASE WHEN mh >= {2 ** 63} THEN mh - {2 ** 64} ELSE mh END AS BIGINT) AS fp
+    FROM sel
+    """
+
+
+@q("docs_winnow_fingerprints", None)
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting (driver mandate), winnowing
+    scheme: shift-resistant (pos, fp) sets per document — the
+    partial-duplicate detection primitive exact hashing can't provide.
+    Kernel-independent gate: numpy rolling hash + vectorized window minima
+    engine-side vs full SQL re-derivation (see _winnow_oracle_sql)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_addr_tools_spark.functions import text as T
+
+    @pandas_udf("array<struct<pos:long,fp:long>>")
+    def wf(t):
+        return t.map(T.winnow_fingerprints)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(wf("text")).alias("_w"))
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.fp").alias("fp"))
+    )
+
+
+ORACLES["docs_winnow_fingerprints"] = _winnow_oracle_sql()
 
 
 # --- embeddings: similarity search ------------------------------------------

@@ -1,6 +1,9 @@
 """X1 extraction goldens — one pinned byte-case per SURVEY §7.5 rule, plus a
 kitchen-sink page — and the X2 address-grammar cases."""
 
+import pandas as pd
+
+from osm_addr_tools_spark.functions import text as T
 from osm_addr_tools_spark.functions.text import (
     extract_text_one,
     parse_addresses_one,
@@ -75,3 +78,52 @@ def test_x2_grammar():
             for a in parse_addresses_one(text)
         ]
         assert got == expect, text
+
+
+def _winnow_naive(text, k=8, w=16):
+    """O(n·w) reference winnowing: plain-Python polynomial hash + per-window
+    rightmost-min scan."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return []
+    M = 1 << 64
+    hs = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 257 + data[i + j]) % M
+        hs.append(h)
+    sel = {}
+    n_windows = max(1, len(hs) - w + 1)
+    for s in range(n_windows):
+        win = hs[s : s + w]
+        m = min(win)
+        p = s + max(i for i, v in enumerate(win) if v == m)
+        sel[p] = hs[p]
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    return sorted((p, to_signed(v)) for p, v in sel.items())
+
+
+def test_winnow_matches_naive():
+    cases = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # all-tie stress: rightmost rule
+        "short",                            # < k bytes: no fingerprints
+        "exactly8",                         # exactly one gram
+        "a bit longer than k but fewer grams than one window",
+    ]
+    for t in cases:
+        assert T.winnow_fingerprints(t) == _winnow_naive(t), t[:20]
+
+
+def test_winnow_shift_resistance():
+    """The winnowing point: an edit far from a passage leaves that
+    passage's fingerprints intact — exact whole-doc hashing loses all."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    shifted = "INSERTED PREFIX CHANGES EVERYTHING UP FRONT " + base
+    fp_a = {v for _, v in T.winnow_fingerprints(base)}
+    fp_b = {v for _, v in T.winnow_fingerprints(shifted)}
+    # the shared suffix dominates both docs: most of base's fingerprints
+    # must survive the prefix insertion (positions shift, values don't)
+    assert len(fp_a & fp_b) / len(fp_a) > 0.8
+    assert T.fingerprint64(pd.Series([base]))[0] != T.fingerprint64(pd.Series([shifted]))[0]
