@@ -1427,17 +1427,24 @@ def tile_pyramid(spark, sf_dir):
 
     n = synth_n_pages(sf_dir)
     t = run_tile_polygons(S.synth_buildings(spark, n), level=16)
-    parts = [
-        t.select(
-            F.lit(lvl).cast("bigint").alias("lvl"),
-            cell_parent_udf(lvl)(F.col("tile_id")).alias("tile"),
-            "feature_id",
-        )
-        for lvl in (16, 14, 12)
-    ]
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return u.groupBy("lvl", "tile").agg(
-        F.count_distinct("feature_id").alias("n_features")
+    # one explode of the per-level parents instead of a 3-arm union: the
+    # union form re-ran the generator + cover UDF once PER LEVEL (plan
+    # audit showed 3× MapInPandas/cover subtrees); here the cover runs
+    # once and the three parent UDFs collapse into one Arrow pass
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).cast("bigint").alias("lvl"),
+                cell_parent_udf(lvl)(F.col("tile_id")).alias("tile"),
+            )
+            for lvl in (16, 14, 12)
+        ]
+    )
+    return (
+        t.select("feature_id", F.explode(arms).alias("_a"))
+        .select(F.col("_a.lvl").alias("lvl"), F.col("_a.tile").alias("tile"), "feature_id")
+        .groupBy("lvl", "tile")
+        .agg(F.count_distinct("feature_id").alias("n_features"))
     )
 
 
