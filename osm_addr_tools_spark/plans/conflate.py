@@ -277,6 +277,11 @@ def run_conflate(
     )
 
     # --- evidence 3: nearest existing node within d_max (J5, k=1) -----------
+    # ring_r=2: one level finer than the classic 3×3, 25 cells of 1/4 the
+    # area ≈ 0.7× candidate volume — measured 14-15 s → 8-10 s for this
+    # stage at 100k pages local[32] (r=3 ties within noise; r=2 explodes
+    # 25× instead of 49× on the address side). Exactness unchanged: the
+    # plan-build assertion r·min_edge ≥ d_max carries over.
     near1 = knn_join(
         a.select("url", "addr_key", "lon", "lat"),
         ex.select("node_id", F.col("e_lon").alias("c_lon"),
@@ -285,6 +290,7 @@ def run_conflate(
         cand_id="node_id",
         d_max_m=d_max_m,
         k=1,
+        ring_r=2,
         salt=salt,
         **salt_kw,
     ).select("url", "addr_key", F.col("node_id").alias("n_node"),
