@@ -440,3 +440,66 @@ def asof_latest(df: DataFrame, key: str, ts: str) -> DataFrame:
     tie_cols = [F.col(c).asc() for c in df.columns if c not in (key, ts)]
     w = Window.partitionBy(key).orderBy(F.col(ts).desc(), *tie_cols)
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# J8 — generic 1-D numeric range (band) join
+# ---------------------------------------------------------------------------
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    band: float,
+    salt: bool = False,
+    probe_col: Column | None = None,
+    **salt_kw,
+) -> DataFrame:
+    """Pairs with ``|left_val - right_val| <= band`` — the J8 theta→equi
+    rule as a reusable operator (the 1-D analogue of the cell kNN join):
+    candidates via an equi-join on ``bucket = floor(val / band)`` with a
+    3-bucket probe ring on the left side, then the exact residual filter.
+    Catalyst would plan the raw theta predicate as a
+    BroadcastNestedLoopJoin; this never does.
+
+    Exactness: |l - r| <= band ⇒ floor(r/band) ∈ {floor(l/band)-1, ·, +1}.
+    That real-arithmetic argument survives floating point ONLY when the
+    division is exact, so ``band`` must be a power of two (x/2^k is a pure
+    exponent shift — no rounding, floors exact); asserted below. A
+    non-dyadic band can round x/band across an integer boundary and drop a
+    boundary-equal pair that the residual (computed on the raw values)
+    would keep.
+
+    ``salt=True`` routes the bucket join through J3 for value-clustered
+    inputs (a price spike = a hot bucket), salting on ``probe_col``.
+    """
+    m, e = np.frexp(band)
+    if not (band > 0 and m == 0.5):
+        raise ValueError(
+            f"band must be a positive power of two for exact bucketing, got {band!r}"
+        )
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col(left_val) / F.lit(float(band))) + F.lit(d)).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket", F.floor(F.col(right_val) / F.lit(float(band))).cast("long")
+    )
+    if salt:
+        if probe_col is None:
+            probe_col = F.col(left_val)
+        pairs = salted_join(lb, rb.hint("shuffle_hash"), "_bucket", probe_col, **salt_kw)
+    else:
+        pairs = lb.join(rb.hint("shuffle_hash"), "_bucket")
+    return pairs.where(
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(float(band))
+    ).drop("_bucket")

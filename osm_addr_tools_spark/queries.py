@@ -1389,6 +1389,33 @@ def tile_untile_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "orders_price_band_pairs",
+    """
+    SELECT x.o_orderkey AS a, y.o_orderkey AS b
+    FROM orders x JOIN orders y
+      ON x.o_orderkey < y.o_orderkey
+     AND abs(x.o_totalprice - y.o_totalprice) <= 32.0
+    """,
+)
+def orders_price_band_pairs(spark, sf_dir):
+    """J8 as a first-class operator: the generic 1-D numeric range join
+    (band_join — dyadic bucket ring + exact residual, never a
+    BNLJ/cartesian) vs DuckDB's native inequality join (IEJoin) over the
+    raw theta predicate — the bucketed rewrite gated against the naive
+    semantics, exactly like the cell joins vs their cross-join oracles."""
+    from osm_addr_tools_spark.operators.joins import band_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lhs = o.select(F.col("o_orderkey").alias("a"), F.col("o_totalprice").alias("pa"))
+    rhs = o.select(F.col("o_orderkey").alias("b"), F.col("o_totalprice").alias("pb"))
+    return (
+        band_join(lhs, rhs, "pa", "pb", 32.0)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+
 def _tile_pyramid_oracle_sql() -> str:
     """C2 driver gate: parent ids via INDEPENDENT SQL bit arithmetic —
     for a fixed level, parent(cell) = (cell & -lsb) | lsb with lsb a

@@ -3,6 +3,7 @@ kNN exactness vs a naive cross-join, PIP exactness vs brute force."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from osm_addr_tools_spark.functions import geo as G
@@ -216,3 +217,62 @@ def test_asof_latest_deterministic_on_duplicate_ts(spark):
             .orderBy("key").toPandas()
         )
         assert list(got.val) == ["a", "x"], got
+
+
+def test_band_join_matches_naive(spark):
+    """J8 band join == brute-force |l-r| <= band, including boundary-exact
+    pairs (values chosen to land exactly band apart)."""
+    import pandas as pd
+
+    from osm_addr_tools_spark.operators.joins import band_join
+
+    vals = [0.0, 0.25, 0.5, 1.0, 1.25, 3.0, 3.25, 100.0, -0.25, -1.0, 7.75, 8.0]
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    lhs = df.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    rhs = df.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    band = 0.25
+    got = {
+        (r.a, r.b)
+        for r in band_join(lhs, rhs, "va", "vb", band).collect()
+    }
+    want = {
+        (i, j)
+        for i, vi in enumerate(vals)
+        for j, vj in enumerate(vals)
+        if abs(vi - vj) <= band
+    }
+    assert got == want
+    plan = band_join(lhs, rhs, "va", "vb", band)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_band_join_requires_dyadic_band(spark):
+    from osm_addr_tools_spark.operators.joins import band_join
+
+    df = spark.range(3).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="power of two"):
+        band_join(df, df, "v", "v", 0.1)
+
+
+def test_band_join_salted_equals_unsalted(spark):
+    import pandas as pd
+
+    from osm_addr_tools_spark.operators.joins import band_join
+
+    # hot bucket: 300 of 400 values cluster inside one band-width
+    vals = [float(5.0 + (i % 7) * 0.001) for i in range(300)] + [
+        float(i) for i in range(100)
+    ]
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    lhs = df.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    rhs = df.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    plain = {(r.a, r.b) for r in band_join(lhs, rhs, "va", "vb", 0.5).collect()}
+    salted = {
+        (r.a, r.b)
+        for r in band_join(
+            lhs, rhs, "va", "vb", 0.5, salt=True, hot_threshold=50, rows_per_task=25
+        ).collect()
+    }
+    assert plain == salted and len(plain) > 300 * 300
