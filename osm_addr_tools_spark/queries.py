@@ -770,7 +770,8 @@ def _quality_oracle_sql() -> str:
 ORACLES["docs_quality_ascii"] = _quality_oracle_sql()
 
 
-def _winnow_oracle_sql(k: int = 8, w: int = 16) -> str:
+def _winnow_oracle_sql(k: int = 8, w: int = 16,
+                       docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Independent SQL winnowing: the polynomial rolling hash is
     recomputed per gram with HUGEINT arithmetic (ascii() bytes × literal
     base powers, mod 2^64), window minima via a ROWS frame over FULL
@@ -784,7 +785,7 @@ def _winnow_oracle_sql(k: int = 8, w: int = 16) -> str:
     )
     return f"""
     WITH d AS (
-      SELECT doc_id, text, length(text) AS n FROM documents
+      SELECT doc_id, text, length(text) AS n FROM ({docs_sql})
       WHERE length(text) >= {k}
     ),
     g AS (
@@ -834,6 +835,82 @@ def docs_winnow_fingerprints(spark, sf_dir):
 
 
 ORACLES["docs_winnow_fingerprints"] = _winnow_oracle_sql()
+
+
+_PLANTED_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text || ' trailing mutation'
+      FROM documents WHERE doc_id % 10 = 0
+    UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _winnow_partial_dup_oracle_sql(threshold: float = 0.5) -> str:
+    """Partial-duplicate pairs from the winnow fingerprints: containment =
+    |shared fp| / min(|fp_a|, |fp_b|) ≥ threshold, fp sets distinct per
+    doc. Reuses the independent SQL winnowing over the planted corpus."""
+    return f"""
+    WITH fp AS ({_winnow_oracle_sql(docs_sql=_PLANTED_DOCS_SQL)}),
+    u AS (SELECT DISTINCT doc_id, fp FROM fp),
+    cnt AS (SELECT doc_id, COUNT(*) AS nf FROM u GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+      FROM u x JOIN u y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(ca.nf, cb.nf), 6) AS containment
+    FROM shared JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+    WHERE CAST(n_shared AS DOUBLE) / least(ca.nf, cb.nf) >= {threshold}
+    """
+
+
+@q("docs_winnow_partial_dups", None)
+def docs_winnow_partial_dups(spark, sf_dir):
+    """Partial-duplicate detection — the winnowing fingerprints doing
+    their actual job: docs sharing ≥ 50% of the smaller side's distinct
+    fingerprints pair up, catching contained/overlapping passages that
+    whole-document hashing and even shingle-Jaccard under-score. Scale
+    shape: equi-join on the fingerprint VALUE (bucketed candidates like
+    every dedup family here; at web scale a boilerplate-heavy fp would get
+    the stop-shingle df-cap treatment ngram_jaccard_pairs uses). Runs over
+    the planted corpus so near-dups and exact copies are present; oracle
+    reuses the independent SQL winnowing end-to-end."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osm_addr_tools_spark.functions import text as T
+
+    @pandas_udf("array<struct<pos:long,fp:long>>")
+    def wf(t):
+        return t.map(T.winnow_fingerprints)
+
+    u = (
+        _docs_with_planted(spark, sf_dir)
+        .select("doc_id", F.explode(wf("text")).alias("_w"))
+        .select("doc_id", F.col("_w.fp").alias("fp"))
+        .distinct()
+    )
+    cnt = u.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    lhs = u.select(F.col("doc_id").alias("a"), "fp")
+    rhs = u.select(F.col("doc_id").alias("b"), "fp")
+    shared = (
+        lhs.join(rhs.hint("shuffle_hash"), "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("nf").alias("_na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("nf").alias("_nb"))
+    containment = F.col("n_shared").cast("double") / F.least("_na", "_nb")
+    return (
+        shared.join(ca.hint("shuffle_hash"), "a")
+        .join(cb.hint("shuffle_hash"), "b")
+        .where(containment >= 0.5)
+        .select("a", "b", "n_shared", F.round(containment, 6).alias("containment"))
+    )
+
+
+ORACLES["docs_winnow_partial_dups"] = _winnow_partial_dup_oracle_sql()
 
 
 # --- embeddings: similarity search ------------------------------------------
