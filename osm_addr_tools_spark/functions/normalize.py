@@ -59,29 +59,43 @@ def norm_housenumber(s: pd.Series) -> pd.Series:
 def norm_street(s: pd.Series) -> pd.Series:
     """F2 — canonical street name.
 
-    Rules (FIXTURES.md §3.2): NFC unicode normalize; lowercase; trim and
-    collapse whitespace; expand/drop a leading generic prefix per
-    STREET_PREFIXES; strip punctuation; collapse again.
+    Rules (FIXTURES.md §3.2, r4 revision): NFC unicode normalize; lowercase;
+    trim and collapse whitespace; strip punctuation (and collapse again);
+    THEN expand/drop a leading generic prefix per STREET_PREFIXES, iterated
+    to a fixpoint.
+
+    Ordering is load-bearing for idempotence (VERDICT r3 #1): stripping
+    punctuation AFTER expansion let a punctuation-wrapped leading token hide
+    the prefix on pass 1 and expand on pass 2 ('.sT' → "st" → "street" —
+    the same logical street arriving as 'ul. Długa' vs '.ul Długa' got
+    different canonicals, breaking duplicate-node detection). Punctuation
+    first means the expansion always sees the canonical token; running it
+    to a fixpoint makes stacked designators ('ul. pl. Wolności' →
+    "plac wolności") converge too. The output is then provably a fixpoint
+    of the whole chain: it is lowercase, collapsed, punctuation-free, and
+    expansion-stable by construction.
     """
     s = s.fillna("").astype(str)
     s = s.map(lambda x: unicodedata.normalize("NFC", x))
     s = s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
-
-    def expand(x: str) -> str:
-        if not x:
-            return x
-        head, _, rest = x.partition(" ")
-        key = head.rstrip(".")
-        if head.endswith(".") or key in STREET_PREFIXES:
-            repl = STREET_PREFIXES.get(key)
-            if repl is not None:
-                return (repl + " " + rest).strip() if repl else rest
-        return x
-
-    s = s.map(expand)
     s = s.str.replace(_PUNCT_CLASS, "", regex=True)
     s = s.str.replace(r"\s+", " ", regex=True).str.strip()
-    return s
+
+    def expand(x: str) -> str:
+        # fixpoint bounded by token count: each step drops the head or
+        # replaces it by a map value that is itself a map fixpoint
+        for _ in range(x.count(" ") + 2):
+            if not x:
+                return x
+            head, _, rest = x.partition(" ")
+            repl = STREET_PREFIXES.get(head)
+            nxt = x if repl is None else ((repl + " " + rest).strip() if repl else rest)
+            if nxt == x:
+                return x
+            x = nxt
+        return x
+
+    return s.map(expand)
 
 
 # instrumentation: exact-matcher invocations (in-process kernel tests only;

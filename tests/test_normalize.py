@@ -30,6 +30,14 @@ STREET_CASES = [
     ("Os. Zielone", "osiedle zielone"),
     ("  kwiatowa  ", "kwiatowa"),
     ("", ""),
+    # r4 idempotence regressions (VERDICT r3 #1): punctuation-wrapped and
+    # stacked leading designators must reach the canonical in ONE pass
+    (".sT", "street"),
+    ('.ul Długa', "długa"),
+    ('"st" main', "street main"),
+    ("ul. pl. Wolności", "plac wolności"),
+    ("ul", ""),
+    ("pl", "plac"),
 ]
 
 

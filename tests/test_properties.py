@@ -75,6 +75,16 @@ def test_norm_street_idempotent(s):
     assert once.iloc[0] == twice.iloc[0]
 
 
+def test_norm_street_idempotent_regressions():
+    """Hypothesis-discovered r3 counterexamples, pinned forever: punctuation
+    stripped AFTER prefix expansion hid the designator on pass 1."""
+    cases = [".sT", ".ul Dluga", '"st" main', "ul. pl. Wolnosci", "ul ul x"]
+    once = N.norm_street(pd.Series(cases))
+    twice = N.norm_street(once)
+    assert once.tolist() == twice.tolist()
+    assert once.tolist() == ["street", "dluga", "street main", "plac wolnosci", "x"]
+
+
 @settings(max_examples=300, deadline=None)
 @given(ascii_streets)
 def test_norm_housenumber_idempotent(s):
