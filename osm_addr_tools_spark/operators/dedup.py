@@ -105,6 +105,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     stop_shingle_df: int = 1000,
+    broadcast_hot: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b, jaccard ≥ threshold).
 
@@ -118,6 +119,15 @@ def ngram_jaccard_pairs(
     Shingle sets larger than the UDF's ``max_shingles`` cap (512) keep the
     512 smallest hashes — above the cap the measure is bottom-k-sketch
     Jaccard, not exact (documented trade-off for bounded row width).
+
+    ``broadcast_hot`` (VERDICT r3 #5): the hot-shingle set grows with the
+    corpus (every shingle with df > cap), so force-broadcasting it is
+    unbounded at 10^12 docs. Default ``None`` leaves the anti-join
+    strategy to Catalyst/AQE, which converts to broadcast from the REAL
+    post-shuffle size when it fits ``autoBroadcastJoinThreshold`` and
+    keeps a shuffled hash join when it doesn't — the scale-safe default
+    with no extra driver-side sizing job. ``True``/``False`` force
+    broadcast / shuffle for callers who know their corpus.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), shingle_udf(k)(F.col(text_col)).alias("_sh")
@@ -128,7 +138,11 @@ def ngram_jaccard_pairs(
         .where(F.col("_df") > stop_shingle_df)
         .select("_g")
     )
-    ex = ex.join(F.broadcast(hot), "_g", "left_anti")
+    if broadcast_hot is True:
+        hot = F.broadcast(hot)
+    elif broadcast_hot is False:
+        hot = hot.hint("shuffle_hash")
+    ex = ex.join(hot, "_g", "left_anti")
     # per-doc sizes of the post-filter sets (one partial-agg shuffle on id)
     cnt = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     ex = ex.join(cnt, "_id")
@@ -210,7 +224,13 @@ def minhash_lsh_pairs(
     signature positions ≥ threshold — a Column expression over the aligned
     signature arrays (zip_with), no Python in the verify step.
     """
-    assert num_perm % bands == 0
+    # recall proof obligation: a ragged final band would carry fewer rows
+    # and a different collision probability than the analysis assumes.
+    # Raise (not assert) so `python -O` cannot strip it (VERDICT r3 #4).
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("_id"),

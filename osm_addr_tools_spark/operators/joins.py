@@ -395,10 +395,13 @@ def knn_join(
     if expand not in ("queries", "candidates"):
         raise ValueError(f"expand must be 'queries' or 'candidates', got {expand!r}")
     level = C.level_for_max_distance(d_max_m / ring_r)
-    assert ring_r * C.min_cell_edge_meters(level) >= d_max_m, (
-        f"kNN sufficiency violated: ring {ring_r} × level-{level} edge "
-        f"{C.min_cell_edge_meters(level):.1f} m < d_max {d_max_m} m"
-    )
+    # plan-build-time proof obligation (SURVEY §7.4.2); a raise, not an
+    # assert, so `python -O` cannot strip the exactness guarantee (r3 #4)
+    if ring_r * C.min_cell_edge_meters(level) < d_max_m:
+        raise ValueError(
+            f"kNN sufficiency violated: ring {ring_r} × level-{level} edge "
+            f"{C.min_cell_edge_meters(level):.1f} m < d_max {d_max_m} m"
+        )
     qid_cols = [query_id] if isinstance(query_id, str) else list(query_id)
     q = with_cell(queries, level, q_lon, q_lat, "_cell")
     c = with_cell(candidates, level, c_lon, c_lat, "_cell")

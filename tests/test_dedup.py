@@ -316,3 +316,26 @@ def test_connected_components_random_vs_union_find(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
     got = {r.v: r.component for r in D.connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+def test_minhash_band_divisibility_raises_not_asserts():
+    """num_perm % bands != 0 must raise ValueError (not a strippable
+    assert) before any plan is built (VERDICT r3 #4)."""
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_lsh_pairs(None, num_perm=64, bands=15)
+
+
+def test_ngram_jaccard_hot_strategy_switch(spark, docs_with_planted):
+    """broadcast_hot=None/True/False must produce the identical pair set
+    (VERDICT r3 #5): the strategy only moves WHERE the anti-join build
+    side lives, never the semantics. A low df-cap makes the hot set
+    non-empty so all three paths actually exercise the anti-join."""
+    def pairset(mode):
+        p = D.ngram_jaccard_pairs(
+            docs_with_planted, threshold=0.5, stop_shingle_df=3, broadcast_hot=mode
+        ).toPandas()
+        return set(zip(p.a, p.b, p.jaccard))
+
+    auto, bc, sh = pairset(None), pairset(True), pairset(False)
+    assert auto == bc == sh
+    assert len(auto) > 0

@@ -276,3 +276,14 @@ def test_band_join_salted_equals_unsalted(spark):
         ).collect()
     }
     assert plain == salted and len(plain) > 300 * 300
+
+
+def test_knn_ring_sufficiency_raises_not_asserts(monkeypatch):
+    """The ring-sufficiency proof must survive `python -O` (VERDICT r3 #4):
+    a level too fine for the ring radius raises ValueError at plan-build
+    time, before any DataFrame is touched."""
+    from osm_addr_tools_spark.functions import cells as C
+
+    monkeypatch.setattr(C, "level_for_max_distance", lambda d: C.MAX_LEVEL)
+    with pytest.raises(ValueError, match="sufficiency violated"):
+        knn_join(None, None, "qid", "cid", d_max_m=5000.0)
