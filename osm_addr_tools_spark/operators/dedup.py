@@ -14,8 +14,10 @@ Scale design (the part that matters at 10^12 docs):
   similarity join into |bands| equi-joins on (band, bucket) — sub-linear
   candidate generation; verification on signature agreement is a cheap
   Column expression over aligned arrays.
-* SimHash: 64-bit fingerprint; pigeonhole banding (4×16-bit chunks) makes
-  hamming≤3 candidate generation an equi-join too.
+* SimHash: 64-bit fingerprint; multi-block pigeonhole banding (b blocks,
+  C(b, h) subset keys) makes hamming≤h candidate generation an equi-join
+  whose per-key value space is tunable to the corpus size (sub-quadratic
+  once 2^key_bits ≳ n — see simhash_candidates).
 
 All hashes are splitmix64-derived from md5 bytes — deterministic across
 processes (never Python ``hash``).
@@ -316,54 +318,129 @@ def simhash_udf(seed: int = 42):
     return sim
 
 
+def _simhash_fp(
+    df: DataFrame, id_col: str, text_col: str, fp_col: str | None
+) -> DataFrame:
+    if fp_col is not None:
+        return df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    return df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_fp"))
+
+
+def simhash_candidates(
+    fp: DataFrame,
+    max_hamming: int,
+    blocks: int | None = None,
+    salt: bool = False,
+    **salt_kw,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b, deduplicated) that MAY be within
+    ``max_hamming`` — 100% recall by pigeonhole, precision filtered by the
+    caller's popcount. ``fp`` is (_id, _fp).
+
+    Multi-block banding (VERDICT r3 #2, the Manku/Jain/Sarma WWW'07 shape,
+    re-derived): split the 64-bit fingerprint into ``blocks`` = b blocks.
+    A pair at hamming ≤ h differs in at most h blocks, so at least b−h
+    blocks agree entirely — hence SOME (b−h)-subset of blocks matches
+    exactly, and equi-joining on every C(b, h) subset key keeps recall at
+    100% for ANY b > h.
+
+    Why b matters: with the minimal b = h+1 (the r1–r3 scheme) each key is
+    one chunk of 64/(h+1) bits — at h=6 that is a 9–10-bit value space
+    (≤1024 distinct buckets), so candidate volume ≈ 7·n²/2⁹ grows
+    QUADRATICALLY in corpus size. Raising b widens each subset key to
+    (b−h)·64/b bits (b=12, h=6 → 32-bit keys ≈ 4·10⁹ buckets) at the cost
+    of C(b, h) join keys per doc (b=12, h=6 → 924) — sub-quadratic
+    candidates as long as 2^key_bits ≳ n. Default ``blocks=None`` keeps
+    b = h+1 (right for small h / small corpora, e.g. h ≤ 3 gives 16-bit
+    chunks); large-radius web-scale callers pass b explicitly.
+
+    Candidates travel light: only (a, b) flows through the subset join and
+    the pair dedup (fingerprints re-join by id afterwards — the minhash
+    r2 #8 treatment). ``salt=True`` routes the key join through the J3
+    salted join (hot key = a boilerplate block pattern shared by k docs).
+    """
+    from itertools import combinations
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    b_blocks = blocks if blocks is not None else max_hamming + 1
+    # recall proof obligations — raises, not asserts (r3 #4 style)
+    if not max_hamming < b_blocks <= 64:
+        raise ValueError(
+            f"blocks must satisfy max_hamming < blocks <= 64 for pigeonhole "
+            f"recall, got blocks={b_blocks}, max_hamming={max_hamming}"
+        )
+    base, extra = divmod(64, b_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(b_blocks)]
+    offsets = [sum(widths[:i]) for i in range(b_blocks)]
+    block_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_fp"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(b_blocks)
+        ]
+    )
+    combos = list(combinations(range(b_blocks), b_blocks - max_hamming))
+    combo_col = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("cid"),
+                F.array(*[F.lit(j) for j in c]).alias("idx"),
+            )
+            for ci, c in enumerate(combos)
+        ]
+    )
+    # one 64-bit key per (doc, subset): subset id + the selected block
+    # values, hashed — a single equi-join column
+    key = F.xxhash64(
+        F.col("_c.cid"),
+        F.transform(
+            F.col("_c.idx"), lambda i: F.element_at(F.col("_bv"), i + F.lit(1))
+        ).cast("string"),
+    )
+    keyed = (
+        fp.withColumn("_bv", block_vals)
+        .withColumn("_c", F.explode(combo_col))
+        .select("_id", key.alias("_k"))
+    )
+    lhs = keyed.select(F.col("_id").alias("a"), "_k")
+    rhs = keyed.select(F.col("_id").alias("b"), "_k")
+    if salt:
+        from osm_addr_tools_spark.operators.joins import salted_join
+
+        cand = salted_join(lhs, rhs, "_k", F.col("a"), **salt_kw)
+    else:
+        cand = lhs.join(rhs.hint("shuffle_hash"), "_k")
+    return (
+        cand.where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     fp_col: str | None = None,
+    blocks: int | None = None,
+    salt: bool = False,
+    **salt_kw,
 ) -> DataFrame:
     """Pairs with simhash hamming distance ≤ max_hamming (a < b). EXACT
-    (100% recall): the fingerprint is split into ``max_hamming + 1``
-    chunks, so by pigeonhole any pair within the distance agrees on at
-    least one whole chunk → candidates via equi-join on (chunk id, chunk
-    value); exact popcount filter after. (r1 shipped a fixed 4-chunk split
-    that only guaranteed hamming ≤ 3 while the registered query asked for
-    6 — pairs with differing bits spread across all 4 chunks were silently
-    dropped; gated now by a planted hamming-5 test.)
+    (100% recall): multi-block pigeonhole banding generates candidates
+    (see simhash_candidates for the b-vs-C(b,h) trade), exact popcount
+    filters them. (r1 shipped a fixed 4-chunk split that only guaranteed
+    hamming ≤ 3 while the registered query asked for 6; r3 chunked at
+    h+1, whose 9-bit value space is quadratic at web scale — both gated
+    now by the planted hamming-5 test and the candidate-volume test.)
     """
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    if fp_col is not None:
-        fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    else:
-        fp = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_fp"))
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("_fp"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("val"),
-            )
-            for i in range(n_chunks)
-        ]
-    )
-    b = fp.withColumn("_c", F.explode(chunks)).select(
-        "_id", "_fp", F.col("_c.chunk").alias("chunk"), F.col("_c.val").alias("val")
-    )
-    lhs = b.select(F.col("_id").alias("a"), F.col("_fp").alias("fp_a"), "chunk", "val")
-    rhs = b.select(F.col("_id").alias("b"), F.col("_fp").alias("fp_b"), "chunk", "val")
-    cand = (
-        lhs.join(rhs, ["chunk", "val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "fp_a", "fp_b")
-        .dropDuplicates(["a", "b"])
-    )
+    fp = _simhash_fp(df, id_col, text_col, fp_col)
+    cand = simhash_candidates(fp, max_hamming, blocks=blocks, salt=salt, **salt_kw)
+    cand = cand.join(
+        fp.select(F.col("_id").alias("a"), F.col("_fp").alias("fp_a")), "a"
+    ).join(fp.select(F.col("_id").alias("b"), F.col("_fp").alias("fp_b")), "b")
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         cand.withColumn("hamming", ham)

@@ -1106,13 +1106,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     # the oracle is the NAIVE all-pairs popcount join — legitimate because
-    # (max_hamming+1)-chunk pigeonhole banding has guaranteed 100% recall,
-    # so the bucketed plan must equal the naive semantics exactly
+    # multi-block pigeonhole banding has guaranteed 100% recall, so the
+    # bucketed plan must equal the naive semantics exactly. blocks=12 is
+    # the web-scale setting for h=6: 32-bit subset keys (sub-quadratic
+    # candidates) instead of the 9-bit chunks blocks=h+1 would give.
     from osm_addr_tools_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_planted(spark, sf_dir), max_hamming=6).select(
-        "a", "b", F.col("hamming").cast("bigint").alias("hamming")
-    )
+    return simhash_pairs(
+        _docs_with_planted(spark, sf_dir), max_hamming=6, blocks=12
+    ).select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @q(
