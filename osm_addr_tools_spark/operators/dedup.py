@@ -450,6 +450,76 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing partial-duplicate containment join
+# ---------------------------------------------------------------------------
+
+
+def winnow_partial_dups(
+    fp: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    stop_fp_df: int | None = None,
+    broadcast_hot: bool | None = None,
+    salt: bool = False,
+    **salt_kw,
+) -> DataFrame:
+    """Partial-duplicate pairs over winnowing fingerprints (a < b):
+    containment = |shared fp| / min(|fp_a|, |fp_b|) ≥ threshold, fp sets
+    distinct per doc. ``fp`` is a (id_col, fp_col) DataFrame (duplicates
+    allowed — de-duplicated here).
+
+    Scale shape: equi-join on the fingerprint VALUE. ``stop_fp_df``
+    (VERDICT r3 #3, mirroring ngram_jaccard_pairs' stop-shingle cap):
+    fingerprints present in more than the cap's worth of documents are
+    boilerplate (cookie banners, footers) — one fp shared by k docs alone
+    creates k² candidate pairs, the first thing a boilerplate-heavy real
+    corpus hits. Dropping them BEFORE the per-doc counts keeps containment
+    exact over the post-filter fp sets (removed fps leave both the
+    intersection and the min() denominator consistently). ``broadcast_hot``
+    as in ngram_jaccard_pairs (None = AQE decides). ``salt=True`` routes
+    the fp join through the J3 salted join for residual hot values under
+    the cap.
+    """
+    u = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp")).distinct()
+    if stop_fp_df is not None:
+        hot = (
+            u.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > stop_fp_df)
+            .select("fp")
+        )
+        if broadcast_hot is True:
+            hot = F.broadcast(hot)
+        elif broadcast_hot is False:
+            hot = hot.hint("shuffle_hash")
+        u = u.join(hot, "fp", "left_anti")
+    cnt = u.groupBy("_id").agg(F.count(F.lit(1)).alias("nf"))
+    lhs = u.select(F.col("_id").alias("a"), "fp")
+    rhs = u.select(F.col("_id").alias("b"), "fp")
+    if salt:
+        from osm_addr_tools_spark.operators.joins import salted_join
+
+        joined = salted_join(lhs, rhs, "fp", F.col("a"), **salt_kw)
+    else:
+        joined = lhs.join(rhs.hint("shuffle_hash"), "fp")
+    shared = (
+        joined.where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = cnt.select(F.col("_id").alias("a"), F.col("nf").alias("_na"))
+    cb = cnt.select(F.col("_id").alias("b"), F.col("nf").alias("_nb"))
+    containment = F.col("n_shared").cast("double") / F.least("_na", "_nb")
+    return (
+        shared.join(ca.hint("shuffle_hash"), "a")
+        .join(cb.hint("shuffle_hash"), "b")
+        .where(containment >= threshold)
+        .select("a", "b", "n_shared", F.round(containment, 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup-group formation: connected components over a pair set
 # ---------------------------------------------------------------------------
 

@@ -845,13 +845,36 @@ _PLANTED_DOCS_SQL = """
 """
 
 
+# shared boilerplate plant (r4, VERDICT r3 #3): a cookie-banner-ish tail
+# appended to every doc_id % 7 == 3 document — its fingerprints land in
+# ~1/7 of the corpus, exactly the hot-fp pattern the stop-fingerprint cap
+# exists for. ASCII, no quotes (lives in both a Spark literal and SQL).
+_BOILERPLATE = (
+    " Subscribe to our newsletter for updates. All rights reserved"
+    " worldwide. This website uses cookies to improve your browsing"
+    " experience today."
+)
+
+_WINNOW_DOCS_SQL = f"""{_PLANTED_DOCS_SQL}
+    UNION ALL SELECT doc_id + 3000000, text || '{_BOILERPLATE}'
+      FROM documents WHERE doc_id % 7 = 3
+"""
+
+_WINNOW_STOP_FP_DF = 20
+
+
 def _winnow_partial_dup_oracle_sql(threshold: float = 0.5) -> str:
     """Partial-duplicate pairs from the winnow fingerprints: containment =
     |shared fp| / min(|fp_a|, |fp_b|) ≥ threshold, fp sets distinct per
-    doc. Reuses the independent SQL winnowing over the planted corpus."""
+    doc, fingerprints in more than ``_WINNOW_STOP_FP_DF`` docs dropped
+    first (boilerplate cap — per-doc counts taken AFTER the drop so the
+    containment stays exact over the post-filter sets). Reuses the
+    independent SQL winnowing over the planted+boilerplate corpus."""
     return f"""
-    WITH fp AS ({_winnow_oracle_sql(docs_sql=_PLANTED_DOCS_SQL)}),
-    u AS (SELECT DISTINCT doc_id, fp FROM fp),
+    WITH fp AS ({_winnow_oracle_sql(docs_sql=_WINNOW_DOCS_SQL)}),
+    u0 AS (SELECT DISTINCT doc_id, fp FROM fp),
+    hot AS (SELECT fp FROM u0 GROUP BY fp HAVING COUNT(*) > {_WINNOW_STOP_FP_DF}),
+    u AS (SELECT * FROM u0 WHERE fp NOT IN (SELECT fp FROM hot)),
     cnt AS (SELECT doc_id, COUNT(*) AS nf FROM u GROUP BY doc_id),
     shared AS (
       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
@@ -865,49 +888,43 @@ def _winnow_partial_dup_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _docs_with_boilerplate(spark, sf_dir):
+    """Spark twin of _WINNOW_DOCS_SQL: planted corpus ∪ boilerplate-tailed
+    copies (doc_id + 3·10⁶)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = d.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_BOILERPLATE)).alias("text"),
+    )
+    return _docs_with_planted(spark, sf_dir).unionByName(boiler)
+
+
 @q("docs_winnow_partial_dups", None)
 def docs_winnow_partial_dups(spark, sf_dir):
     """Partial-duplicate detection — the winnowing fingerprints doing
     their actual job: docs sharing ≥ 50% of the smaller side's distinct
     fingerprints pair up, catching contained/overlapping passages that
     whole-document hashing and even shingle-Jaccard under-score. Scale
-    shape: equi-join on the fingerprint VALUE (bucketed candidates like
-    every dedup family here; at web scale a boilerplate-heavy fp would get
-    the stop-shingle df-cap treatment ngram_jaccard_pairs uses). Runs over
-    the planted corpus so near-dups and exact copies are present; oracle
-    reuses the independent SQL winnowing end-to-end."""
+    shape: equi-join on the fingerprint VALUE with the stop-fingerprint
+    df-cap dropping boilerplate fps (r3 #3 — exercised here by planted
+    cookie-banner tails on 1/7 of the corpus, which without the cap alone
+    create k² candidate pairs). Oracle reuses the independent SQL
+    winnowing + the identical cap end-to-end."""
     from pyspark.sql.functions import pandas_udf
 
     from osm_addr_tools_spark.functions import text as T
+    from osm_addr_tools_spark.operators.dedup import winnow_partial_dups
 
     @pandas_udf("array<struct<pos:long,fp:long>>")
     def wf(t):
         return t.map(T.winnow_fingerprints)
 
-    u = (
-        _docs_with_planted(spark, sf_dir)
+    fps = (
+        _docs_with_boilerplate(spark, sf_dir)
         .select("doc_id", F.explode(wf("text")).alias("_w"))
         .select("doc_id", F.col("_w.fp").alias("fp"))
-        .distinct()
     )
-    cnt = u.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    lhs = u.select(F.col("doc_id").alias("a"), "fp")
-    rhs = u.select(F.col("doc_id").alias("b"), "fp")
-    shared = (
-        lhs.join(rhs.hint("shuffle_hash"), "fp")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("a"), F.col("nf").alias("_na"))
-    cb = cnt.select(F.col("doc_id").alias("b"), F.col("nf").alias("_nb"))
-    containment = F.col("n_shared").cast("double") / F.least("_na", "_nb")
-    return (
-        shared.join(ca.hint("shuffle_hash"), "a")
-        .join(cb.hint("shuffle_hash"), "b")
-        .where(containment >= 0.5)
-        .select("a", "b", "n_shared", F.round(containment, 6).alias("containment"))
-    )
+    return winnow_partial_dups(fps, threshold=0.5, stop_fp_df=_WINNOW_STOP_FP_DF)
 
 
 ORACLES["docs_winnow_partial_dups"] = _winnow_partial_dup_oracle_sql()

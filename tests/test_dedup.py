@@ -406,3 +406,55 @@ def test_ngram_jaccard_hot_strategy_switch(spark, docs_with_planted):
     auto, bc, sh = pairset(None), pairset(True), pairset(False)
     assert auto == bc == sh
     assert len(auto) > 0
+
+
+def test_winnow_partial_dups_stop_fp_cap(spark):
+    """The stop-fingerprint df-cap (VERDICT r3 #3) must remove the k^2
+    boilerplate-only pair wedge while keeping true containment pairs.
+    Corpus: 30 distinct random docs + a shared boilerplate tail on all of
+    them + one genuine near-copy pair."""
+    from osm_addr_tools_spark.functions import text as T
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "bravo", "cedar", "delta", "ember", "frost", "grove",
+             "haven", "ivory", "jumbo", "karst", "lemon", "meadow", "night"]
+    # boilerplate must DOMINATE each doc (>50% of its fingerprints) for the
+    # k^2 wedge to clear the containment threshold — like a short page
+    # wrapped in a fat cookie-banner/footer template
+    boiler = (
+        " subscribe to our newsletter all rights reserved worldwide this"
+        " website uses cookies to improve your browsing experience accept"
+        " our terms of service and privacy policy contact the webmaster"
+        " for takedown requests powered by the example content platform"
+    )
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(words, 10))
+        docs.append((i, body + boiler))
+    docs.append((100, docs[0][1] + " tail"))  # near-copy of doc 0
+    rows = []
+    for did, text in docs:
+        for pos, fp in T.winnow_fingerprints(text):
+            rows.append((did, fp))
+    fp = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "fp"]))
+
+    uncapped = D.winnow_partial_dups(fp, threshold=0.5).toPandas()
+    capped = D.winnow_partial_dups(fp, threshold=0.5, stop_fp_df=10).toPandas()
+    # without the cap the shared boilerplate fps pair everything with
+    # everything (k^2 wedge); with it only the true near-copy survives
+    assert len(uncapped) > 100, len(uncapped)
+    assert (0, 100) in set(zip(capped.a, capped.b))
+    assert len(capped) < len(uncapped) / 10, (len(capped), len(uncapped))
+
+    # salted == unsalted (r3 #8), and the broadcast_hot switch is inert
+    salted = D.winnow_partial_dups(
+        fp, threshold=0.5, stop_fp_df=10, salt=True,
+        hot_threshold=20, rows_per_task=10,
+    ).toPandas()
+    assert set(zip(capped.a, capped.b, capped.n_shared)) == set(
+        zip(salted.a, salted.b, salted.n_shared)
+    )
+    bc = D.winnow_partial_dups(
+        fp, threshold=0.5, stop_fp_df=10, broadcast_hot=True
+    ).toPandas()
+    assert set(zip(capped.a, capped.b)) == set(zip(bc.a, bc.b))
