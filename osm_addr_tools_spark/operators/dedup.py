@@ -529,6 +529,8 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    checkpoint_buckets: int = 16,
 ) -> DataFrame:
     """Connected components over an undirected pair set — the group-forming
     step every dedup pipeline needs after candidate pairs (MinHash, SimHash,
@@ -551,19 +553,66 @@ def connected_components(
 
     Driver-side per-round work: one scalar convergence count (bounded
     metadata action, ≤ ``max_iter`` rounds) and a persist of the new label
-    table (lineage truncation — iterative plans otherwise grow
-    per-round; the production shape is a per-round checkpoint write).
+    table (lineage truncation — iterative plans otherwise grow per-round).
+
+    ``checkpoint_dir`` (VERDICT r3 #6 — the production shape): write each
+    round's label table through the S5 manifest sink (plans/manifest.py,
+    bucketed on ``pmod(u, checkpoint_buckets)``) and read it back, which
+    (a) truncates lineage DURABLY — a driver restart does not re-run
+    earlier rounds — and (b) makes the job resumable: on re-invocation the
+    highest round whose manifest append completed is reloaded and
+    iteration continues from there. The manifest row is appended only
+    after the round's write job succeeds, so a crash between write and
+    append just rewrites that round (deterministic bytes, idempotent
+    overwrite — the S5 crash-window contract).
     """
+    from osm_addr_tools_spark.plans import manifest as M
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
+    spark = edges.sparkSession
+    cc_conf = {"op": "connected_components", "buckets": checkpoint_buckets}
+    cfg = M.config_hash(cc_conf)
+
+    def _ckpt_write(df: DataFrame, rnd: int) -> DataFrame:
+        out = f"{checkpoint_dir}/round={rnd}"
+        M.write_resumable(
+            spark,
+            df.withColumn("_part", F.pmod(F.col("u"), F.lit(checkpoint_buckets))),
+            out,
+            stage=f"cc_round_{rnd}",
+            conf=cc_conf,
+            part_col="_part",
+        )
+        return spark.read.parquet(out).select("u", "lbl")
+
+    start_round = 0
+    labels = None
+    if checkpoint_dir is not None:
+        # resume: the highest round with a completed manifest append
+        # (scan past max_iter: an earlier run may have resumed before us,
+        # so round numbers can exceed one run's own budget)
+        for rnd in range(max_iter * 4, 0, -1):
+            done = M.completed_parts(
+                spark, f"{checkpoint_dir}/round={rnd}", f"cc_round_{rnd}", cfg
+            )
+            if done is not None and done.limit(1).count() > 0:
+                labels = spark.read.parquet(f"{checkpoint_dir}/round={rnd}").select(
+                    "u", "lbl"
+                )
+                start_round = rnd
+                break
+    if labels is None:
+        labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
     labels = labels.persist()
     labels.count()
     e = e.persist()
-    for _ in range(max_iter):
+    # max_iter bounds THIS run's new rounds (a resumed run gets its own
+    # fresh budget on top of the checkpointed progress)
+    for rnd in range(start_round + 1, start_round + max_iter + 1):
         nbr = (
             e.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -582,6 +631,8 @@ def connected_components(
             )
             .select("u", F.least("lbl", "_lbl2").alias("lbl"))
         )
+        if checkpoint_dir is not None:
+            new = _ckpt_write(new, rnd)
         new = new.persist()
         changed = (
             new.join(labels.withColumnRenamed("lbl", "_old"), "u")

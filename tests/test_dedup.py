@@ -458,3 +458,42 @@ def test_winnow_partial_dups_stop_fp_cap(spark):
         fp, threshold=0.5, stop_fp_df=10, broadcast_hot=True
     ).toPandas()
     assert set(zip(capped.a, capped.b)) == set(zip(bc.a, bc.b))
+
+
+def test_connected_components_checkpoint_resume(spark, tmp_path):
+    """S5-backed per-round checkpointing (VERDICT r3 #6): a run killed
+    mid-convergence (max_iter exhausted) leaves durable round tables; a
+    re-invocation resumes from the last completed round (earlier rounds
+    untouched on disk) and converges to the identical component labels as
+    an uncheckpointed run."""
+    import os
+
+    chain = [(i, i + 1) for i in range(12)] + [(20, 21), (22, 23), (21, 22)]
+    df = spark.createDataFrame(pd.DataFrame(chain, columns=["a", "b"]))
+    ck = str(tmp_path / "cc_ckpt")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_iter=1, checkpoint_dir=ck)
+    r1 = f"{ck}/round=1"
+    assert os.path.isdir(r1)
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(r1) for f in fs
+    }
+
+    resumed = {
+        r.v: r.component
+        for r in D.connected_components(df, max_iter=25, checkpoint_dir=ck).collect()
+    }
+    plain = {
+        r.v: r.component for r in D.connected_components(df, max_iter=25).collect()
+    }
+    assert resumed == plain == _uf_components(chain)
+    # round 1 was reloaded, not recomputed: bytes untouched
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(r1) for f in fs
+    }
+    assert mtimes_before == mtimes_after
+    # later rounds were written by the resumed run
+    assert any(d.startswith("round=") and d != "round=1" for d in os.listdir(ck))
