@@ -215,7 +215,7 @@ def main() -> int:
     # The host under this microVM carries bursty external load (up to 3×
     # wall inflation for tens of seconds — measured: the SAME conflate
     # plan 20 s and 49 s in adjacent sessions, a trivial JVM groupBy 0.8 s
-    # and 41 s). Each query therefore runs SPARK_GRAFT_BENCH_REPEATS times
+    # and 41 s). Each query therefore runs SPARK_GRAFT_QUERY_REPEATS times
     # (default 2) and reports the best wall — the run least polluted by
     # host noise — with every raw sample preserved in "samples".
     # (tools/bench_scaling.py pins this to 1: its OUTER best-of-N across

@@ -115,10 +115,12 @@ def street_similarity(a: pd.Series, b: pd.Series, tau: float | None = None) -> p
     ``tau``: acceptance-threshold fast path (VERDICT r2 #2). The matching
     blocks are disjoint and ordered in both strings, so their concatenation
     is a common subsequence; hence M ≤ |char-multiset intersection| and
-    ratio ≤ 2·|∩| / (la+lb). Pairs whose bound is already < tau return the
-    bound (still < tau — identical ≥-tau pair set, property-tested) without
-    running the O(n²) matcher; Counter-∩ is O(n). Survivors get the exact
-    ratio, so ranking among accepted pairs is unchanged.
+    ratio ≤ 2·|∩| / (la+lb). Pairs whose bound is already < tau return 0.0
+    (NOT the bound — ADVICE r3: the bound is not a ratio, and callers
+    consuming the column without the ≥-tau filter must never mistake it
+    for one; 0.0 keeps the ≥-tau pair set identical, property-tested)
+    without running the O(n²) matcher; Counter-∩ is O(n). Survivors get
+    the exact ratio, so ranking among accepted pairs is unchanged.
     """
     import difflib
     from collections import Counter
@@ -134,7 +136,7 @@ def street_similarity(a: pd.Series, b: pd.Series, tau: float | None = None) -> p
                 common = sum((Counter(x) & Counter(y)).values())
                 bound = 2.0 * common / (la + lb)
                 if bound < tau:
-                    out.append(bound)
+                    out.append(0.0)
                     continue
         EXACT_RATIO_CALLS += 1
         out.append(difflib.SequenceMatcher(None, x, y, autojunk=False).ratio())

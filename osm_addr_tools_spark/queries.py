@@ -667,7 +667,7 @@ def docs_fingerprint(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9_ \\t\\n\\r]')) AS BIGINT) AS n_tokens_bpe,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9_ \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS n_tokens_bpe,
            CAST(length(text) AS BIGINT) AS n_chars_engine
     FROM documents
     """,

@@ -141,10 +141,21 @@ def change_ledger_batch(
     df: DataFrame, key: str = "url", ts: str = "warc_ts", payload: str = "text"
 ) -> DataFrame:
     """Batch twin of ``change_ledger_stream`` — same ledger from a plain
-    window + hash-agg. Transitions are counted on the SAME ``xxhash64``
-    fingerprint with the same (ts, fp) ordering, so equal-timestamp runs
-    fold in the identical order on both sides — exact parity by
-    construction, not modulo tie luck."""
+    window + hash-agg, folding each key's rows in GLOBAL (ts_us, fp)
+    event-time order. Transitions are counted on the SAME ``xxhash64``
+    fingerprint with the same tie-break, so equal-timestamp runs fold in
+    the identical order on both sides.
+
+    Parity caveat (ADVICE r3): the stream folds in event-time order
+    WITHIN each microbatch but ARRIVAL order across microbatches — rows
+    that arrive out of event-time order across microbatches (legal inside
+    the watermark; only late-past-watermark data is dropped) can count a
+    fingerprint flip the batch twin's global ordering does not (and
+    vice versa). first/last/n_crawls always agree; n_changes agrees
+    whenever cross-batch arrival respects event time — the common
+    monotonic-crawl case, and the one the parity test pins. The
+    out-of-order divergence case is pinned too
+    (test_change_ledger_out_of_order_arrival_caveat)."""
     from pyspark.sql import Window
 
     prepared = df.select(

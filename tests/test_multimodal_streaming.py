@@ -228,3 +228,45 @@ def test_streaming_windowed_counts(spark, tmp_path):
     total_batch = spark.read.parquet(src).count()
     assert total_stream == total_batch
     assert set(counts.lang) == {"pl", "en", "de"}
+
+
+def test_change_ledger_out_of_order_arrival_caveat(spark):
+    """Pins the documented stream/batch divergence (ADVICE r3): rows
+    arriving out of EVENT-time order across microbatches (legal inside
+    the watermark) fold in arrival order in the stream, so n_changes can
+    differ from the batch twin's global (ts, fp) ordering — while
+    first/last/n_crawls always agree. Key 'u': fingerprints A@t1, B@t2,
+    A@t3; arrival [t1, t3] then [t2]."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {"key": ["u"] * 3, "ts_us": [1000, 2000, 3000], "fp": [7, 9, 7]}
+    )
+    b1 = rows.iloc[[0, 2]]  # t1, t3 arrive first
+    b2 = rows.iloc[[1]]     # t2 arrives late (but within watermark)
+
+    pr = ST.ChangeLedgerProcessor()
+    pr.init(_FakeHandle())
+    for batch in (b1, b2):
+        out = list(pr.handleInputRows(("u",), iter([batch]), None))
+    stream = out[-1].iloc[0]
+
+    sdf = spark.createDataFrame(rows)
+    batch_row = (
+        ST.change_ledger_batch(
+            sdf.select(
+                F.col("key").alias("url"),
+                F.timestamp_micros("ts_us").alias("warc_ts"),
+                F.col("fp").cast("string").alias("text"),
+            )
+        )
+        .toPandas().iloc[0]
+    )
+    # the invariant part agrees...
+    assert stream.first_us == batch_row.first_us == 1000
+    assert stream.last_us == batch_row.last_us == 3000
+    assert stream.n_crawls == batch_row.n_crawls == 3
+    # ...n_changes diverges exactly as documented: batch sees A,B,A = 3
+    # transitions; the stream saw A,A then B = 2
+    assert batch_row.n_changes == 3
+    assert stream.n_changes == 2

@@ -127,3 +127,33 @@ def test_winnow_shift_resistance():
     # must survive the prefix insertion (positions shift, values don't)
     assert len(fp_a & fp_b) / len(fp_a) > 0.8
     assert T.fingerprint64(pd.Series([base]))[0] != T.fingerprint64(pd.Series([shifted]))[0]
+
+
+def test_token_count_oracle_regex_agrees_on_exotic_whitespace():
+    """ADVICE r3: the DuckDB BPE-oracle regex must treat \\f and \\v as
+    whitespace exactly like the Python kernel's [^\\w\\s] does — a future
+    corpus containing them must not silently diverge."""
+    import duckdb
+    import pandas as pd
+
+    from osm_addr_tools_spark.functions import text as T
+    from osm_addr_tools_spark.queries import ORACLES
+
+    sql_regex = None
+    for pat in ("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9_ \\t\\n\\r\\f\\x0B]",):
+        if pat in (ORACLES.get("docs_token_stats") or ""):
+            sql_regex = pat
+    assert sql_regex, "docs_token_stats oracle regex changed — update this test"
+
+    samples = pd.Series(
+        ["a\fb", "a\vb", "x\f\v!", "plain words", "tab\tsep", "sym!@# 12ab3"]
+    )
+    kernel = T.token_count(samples).tolist()
+    con = duckdb.connect()
+    got = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, sql_regex]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == kernel, (got, kernel)
