@@ -145,6 +145,12 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # not just their correctness gates
         "dedup_minhash_components": lambda: Q.QUERIES["dedup_minhash_components"](spark, sf_dir),
         "emb_ann_lsh_top3": lambda: Q.QUERIES["emb_ann_lsh_top3"](spark, sf_dir),
+        # r4 (VERDICT r3 #7): the two families whose scale fixes landed
+        # this round — multi-block simhash banding and the capped winnow
+        # containment join (planted boilerplate corpus) — measured, not
+        # argued
+        "dedup_simhash": lambda: Q.QUERIES["dedup_simhash"](spark, sf_dir),
+        "docs_winnow_partial_dups": lambda: Q.QUERIES["docs_winnow_partial_dups"](spark, sf_dir),
     }
 
 
