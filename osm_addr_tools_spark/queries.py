@@ -1088,6 +1088,47 @@ def dedup_minhash_components(spark, sf_dir):
 ORACLES["dedup_minhash_components"] = _minhash_components_oracle_sql()
 
 
+def _dedup_retention_oracle_sql() -> str:
+    """Retained corpus after group-level dedup: every doc except non-
+    representative members of a near-dup component (representative = the
+    component's minimum id — the canonical label both sides compute)."""
+    return f"""
+    WITH comp AS ({_minhash_components_oracle_sql()}),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    corpus AS ({_PLANTED_DOCS_SQL})
+    SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+    FROM corpus c WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@q("docs_dedup_retention", None)
+def docs_dedup_retention(spark, sf_dir):
+    """End-to-end dedup retention — what the pipeline actually ships to
+    training: signatures → banded LSH pairs → connected components →
+    keep each component's min-id representative, drop the rest (r4; the
+    families were previously gated pair- and label-level, this gates the
+    final corpus). The drop set is an anti-join (J6 shape) of the corpus
+    against non-representative members — one broadcast-sized build side
+    per retention pass at any corpus scale (|drops| ≪ |docs| shuffles
+    only ids)."""
+    from osm_addr_tools_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs.select("a", "b"))
+    drops = comp.where(F.col("v") != F.col("component")).select(
+        F.col("v").alias("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+ORACLES["docs_dedup_retention"] = _dedup_retention_oracle_sql()
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
