@@ -497,3 +497,16 @@ def test_connected_components_checkpoint_resume(spark, tmp_path):
     assert mtimes_before == mtimes_after
     # later rounds were written by the resumed run
     assert any(d.startswith("round=") and d != "round=1" for d in os.listdir(ck))
+
+
+def test_simhash_batch_equals_scalar():
+    """simhash_batch must be BIT-identical to simhash_one on every doc —
+    the batch vocab sharing is a pure evaluation-order change."""
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bravo", "cedar", "delta", "Alpha", "BRAVO", "x1", "42"]
+    texts = [""] + [
+        " ".join(rng.choice(words, int(rng.integers(1, 60)))) for _ in range(80)
+    ] + ["repeated repeated repeated word word"]
+    got = D.simhash_batch(pd.Series(texts))
+    want = np.array([D.simhash_one(t) for t in texts], dtype=np.int64)
+    assert (got == want).all()
