@@ -294,6 +294,93 @@ def events_running_cents(spark, sf_dir):
 
 
 @q(
+    "events_sessionization",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 24 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Gaps-and-islands sessionization (W2+W3 composed — the web-analytics
+    shape): a session breaks where the per-user event gap exceeds 24 h;
+    session id = running sum of break flags; per-session rollup. Both
+    windows and the agg shuffle ONCE on user_id (same partitioning reused
+    across the two windows and the groupBy — no extra exchange at any
+    scale). Tie-safe total order (ts, event_id) on both sides."""
+    gap_us = 24 * 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    brk = F.when(lag_us.isNull() | (ts_us - lag_us > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("_ts_us", ts_us)
+        .withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_ts_us").alias("first_us"),
+            F.max("_ts_us").alias("last_us"),
+        )
+    )
+
+
+@q(
+    "orders_price_quartiles",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(4 * quantile_cont(cents, 0.25)) AS BIGINT) AS p25_c4,
+           CAST(ROUND(4 * quantile_cont(cents, 0.50)) AS BIGINT) AS p50_c4,
+           CAST(ROUND(4 * quantile_cont(cents, 0.75)) AS BIGINT) AS p75_c4,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM (SELECT o_orderpriority,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_price_quartiles(spark, sf_dir):
+    """EXACT percentiles (A-family completion): Spark's sort-based
+    `percentile` vs DuckDB `quantile_cont` — both interpolate linearly at
+    position (n−1)·p. Hash-exactness is engineered, not hoped for: the
+    input is integer cents and quartile fractions are quarters, so
+    4 × percentile is an exact integer in IEEE double on BOTH engines
+    (integer ± 0.25·(integer difference) — all terms exactly
+    representable); the oracle compares those integers, immune to
+    last-ulp interpolation and round-half engine differences."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pct = lambda p: F.round(F.percentile(F.col("cents"), F.lit(p)) * 4).cast("bigint")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            pct(0.25).alias("p25_c4"),
+            pct(0.50).alias("p50_c4"),
+            pct(0.75).alias("p75_c4"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@q(
     "top_events_per_user",
     """
     SELECT user_id, event_id FROM (
