@@ -27,7 +27,10 @@ def build_spark(cpus: int):
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(max(cpus * 2, 16))),
+        )
         .config("spark.python.daemon.module", "osm_addr_tools_spark.daemon_prewarm")
         .config("spark.sql.adaptive.enabled", "true")
         # CPU-heavy Arrow stages must be sized by CORES, not input bytes:
@@ -218,6 +221,14 @@ def main() -> int:
         warm[name]().write.format("noop").mode("overwrite").save()
 
     qs = bench_queries(spark, sf_dir, n_pages, base)
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query subset (tools/
+    # bench_scaling.py sets it to the headline — the N→4N efficiency is
+    # defined on conflate_join alone, and skipping the other 14 queries
+    # lets the scaling protocol afford more repeats against host jitter)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        qs = {k: v for k, v in qs.items() if k in keep}
     # The host under this microVM carries bursty external load (up to 3×
     # wall inflation for tens of seconds — measured: the SAME conflate
     # plan 20 s and 49 s in adjacent sessions, a trivial JVM groupBy 0.8 s
