@@ -505,6 +505,7 @@ def winnow_partial_dups(
     stop_fp_df: int | None = None,
     broadcast_hot: bool | None = None,
     salt: bool = False,
+    cache_fp: bool = False,
     **salt_kw,
 ) -> DataFrame:
     """Partial-duplicate pairs over winnowing fingerprints (a < b):
@@ -524,7 +525,19 @@ def winnow_partial_dups(
     the fp join through the J3 salted join for residual hot values under
     the cap.
     """
+    # The distinct (id, fp) table feeds FOUR plan branches (hot-fp
+    # histogram, per-doc counts, both join sides), so any UDF upstream of
+    # ``fp`` executes once per branch. ``cache_fp=True`` persists it once
+    # instead. MEASURED trade (sf0.1, local[32], warm): recompute 3.7 s vs
+    # persist 7.1 s — at this scale the pipelined recompute across cores
+    # beats the materialization barrier + cache round-trip, so the default
+    # is off; at web scale, where the fingerprint UDF pass over the corpus
+    # dwarfs one |docs·fps| materialization, flip it on (or better:
+    # checkpoint the fingerprint table to parquet as its own stage and
+    # pass that in).
     u = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp")).distinct()
+    if cache_fp:
+        u = u.persist()
     if stop_fp_df is not None:
         hot = (
             u.groupBy("fp")
