@@ -608,8 +608,10 @@ def connected_components(
     celebrity vertex's edge fan-in is combined map-side by the min agg).
 
     Driver-side per-round work: one scalar convergence count (bounded
-    metadata action, ≤ ``max_iter`` rounds) and a persist of the new label
-    table (lineage truncation — iterative plans otherwise grow per-round).
+    metadata action, ≤ ``max_iter`` rounds) and a localCheckpoint of the
+    new label table (truncating BOTH lineage and the logical plan —
+    iterative plans otherwise grow ~3× per round and long-chain graphs
+    OOM the driver during analysis; see the loop comment).
 
     ``checkpoint_dir`` (VERDICT r3 #6 — the production shape): write each
     round's label table through the S5 manifest sink (plans/manifest.py,
@@ -663,8 +665,18 @@ def connected_components(
                 break
     if labels is None:
         labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
-    labels = labels.persist()
-    labels.count()
+    # localCheckpoint, NOT persist: persist truncates EXECUTION but the
+    # LOGICAL plan still nests the previous round's plan ~3× per round
+    # (labels appears in the neighborhood join, the least(), and the
+    # pointer jump), so analysis cost grows 3^rounds — a long-chain graph
+    # that needs ~15 rounds OOMs the driver during ANALYSIS with tiny
+    # data (found by the r4 geo clustering query, whose near-grid point
+    # lattice has a ~300-cell diameter; the minhash graphs converge in
+    # ~4 rounds and never exposed it). localCheckpoint materializes the
+    # round AND cuts the plan to a leaf. The durable path (checkpoint_dir)
+    # gets the same truncation from its parquet round-trip.
+    if checkpoint_dir is None:
+        labels = labels.localCheckpoint()
     e = e.persist()
     # max_iter bounds THIS run's new rounds (a resumed run gets its own
     # fresh budget on top of the checkpointed progress)
@@ -689,20 +701,20 @@ def connected_components(
         )
         if checkpoint_dir is not None:
             new = _ckpt_write(new, rnd)
-        new = new.persist()
+        else:
+            new = new.localCheckpoint()
         changed = (
             new.join(labels.withColumnRenamed("lbl", "_old"), "u")
             .where(F.col("lbl") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     e.unpersist()
-    # the final label table STAYS persisted: it is the lineage-truncation
-    # point for the whole iterative chain — unpersisting here would make
-    # the caller's first action re-run every round recursively
+    # the final label table is already materialized (localCheckpoint /
+    # parquet round) — the caller's actions read the checkpointed blocks,
+    # never the iterative chain
     return labels.select(F.col("u").alias("v"), F.col("lbl").alias("component"))

@@ -343,6 +343,52 @@ def events_sessionization(spark, sf_dir):
 
 
 @q(
+    "events_session_window",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 24 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) + 86400000000 AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (§2.6/§2.10 — the same
+    operator Structured Streaming uses for stateful session aggs; here on
+    its batch face so DuckDB can gate it). Semantics difference from
+    events_sessionization worth pinning: session_window merges an event
+    iff it lands STRICTLY inside [ts, ts+gap) of the open session —
+    i.e. the break condition is diff >= gap (the manual query breaks on
+    diff > gap) — and the emitted window end = last event + gap. The
+    oracle re-derives exactly that with gaps-and-islands SQL."""
+    sw = F.session_window(F.col("ts"), "24 hours")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+@q(
     "orders_price_quartiles",
     """
     SELECT o_orderpriority,
@@ -708,6 +754,75 @@ def geo_distance_band_count(spark, sf_dir):
         expand="candidates",
     )
     return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_near"))
+
+
+_CLUSTER_D_M = 10.0
+
+
+def _geo_cluster_oracle_sql() -> str:
+    """Recursive-CTE transitive closure over the ≤10 m haversine pair set —
+    the same arithmetic (identical IEEE expression both engines) and the
+    same min-label canonicalization the engine's CC converges to."""
+    hav = HAVERSINE_SQL.format(
+        lon1="x.lon", lat1="x.lat", lon2="y.lon", lat2="y.lat"
+    )
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    ),
+    pairs AS (
+      SELECT x.c_custkey AS a, y.c_custkey AS b
+      FROM p x JOIN p y ON x.c_custkey < y.c_custkey
+      WHERE {hav} <= {_CLUSTER_D_M}
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS c_custkey, CAST(MIN(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY u
+    """
+
+
+@q("geo_customer_clusters", None)
+def geo_customer_clusters(spark, sf_dir):
+    """Density-reachability spatial clustering (the geo flagship
+    composition, r4): customers within 10 m form edges via the J5
+    distance-band join (cell-bucketed ring candidates, exactness proven at
+    plan build), and connected components turn the pair set into cluster
+    labels — DBSCAN's minPts=2 core chain, expressed entirely as the
+    engine's existing operators. Oracle: brute-force haversine cross join
+    + recursive-CTE closure, fully kernel-independent (DuckDB never sees
+    the cell index). Scale shape: candidate volume is ring-bounded per
+    cell, CC shuffles on vertex ids only."""
+    from osm_addr_tools_spark.operators.dedup import connected_components
+    from osm_addr_tools_spark.operators.joins import knn_join
+
+    pts = _customer_points(spark, sf_dir)
+    pairs = knn_join(
+        pts.select(F.col("c_custkey").alias("a_key"), "lon", "lat"),
+        pts.select(
+            F.col("c_custkey").alias("b_key"),
+            F.col("lon").alias("c_lon"),
+            F.col("lat").alias("c_lat"),
+        ),
+        query_id="a_key",
+        cand_id="b_key",
+        d_max_m=_CLUSTER_D_M,
+        k=None,
+        ring_r=3,
+    )
+    edges = pairs.where(F.col("a_key") < F.col("b_key")).select("a_key", "b_key")
+    return connected_components(edges, src="a_key", dst="b_key").select(
+        F.col("v").alias("c_custkey"), F.col("component").alias("cluster")
+    )
+
+
+ORACLES["geo_customer_clusters"] = _geo_cluster_oracle_sql()
 
 
 # --- documents: dedup + text analysis ---------------------------------------

@@ -510,3 +510,18 @@ def test_simhash_batch_equals_scalar():
     got = D.simhash_batch(pd.Series(texts))
     want = np.array([D.simhash_one(t) for t in texts], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_connected_components_long_chain_no_plan_explosion(spark):
+    """Regression (found by the r4 geo clustering query): a graph needing
+    many propagation rounds must not blow up the driver — persist()
+    truncated execution but the LOGICAL plan nested ~3x per round, so a
+    ~12-round convergence OOM'd analysis with tiny data. localCheckpoint
+    cuts the plan to a leaf each round. A 2000-vertex path needs
+    ~log2(2000) pointer-jump rounds and must converge to one component."""
+    n = 2000
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pd.DataFrame(chain, columns=["a", "b"]))
+    got = D.connected_components(df, max_iter=25).toPandas()
+    assert len(got) == n
+    assert (got.component == 0).all()
