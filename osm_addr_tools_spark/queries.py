@@ -1132,6 +1132,115 @@ def docs_winnow_partial_dups(spark, sf_dir):
 ORACLES["docs_winnow_partial_dups"] = _winnow_partial_dup_oracle_sql()
 
 
+@q(
+    "docs_split_assign",
+    """
+    SELECT doc_id,
+           CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS BIGINT) AS bucket,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 980 THEN 'train'
+                WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (98/1/1) — the split every
+    training pipeline needs to be REPRODUCIBLE and join-free: bucket =
+    Fibonacci-hash of the id (golden-ratio multiply mod 2³², a pure
+    integer expression BOTH engines evaluate exactly — no engine hash
+    functions, which differ between Spark and DuckDB). A doc's split
+    never changes as the corpus grows, and membership is computable from
+    the id alone (no lookup table to ship)."""
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test").alias("split"),
+    )
+
+
+@q(
+    "docs_token_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(floor((SUM(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok) / 4096.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def docs_token_shards(spark, sf_dir):
+    """Token-offset corpus sharding: docs are laid out in id order and cut
+    into ~4096-token shards by RUNNING OFFSET (a doc belongs to the shard
+    where it starts) — the deterministic sharding used to build
+    fixed-budget training chunks without a stateful first-fit pass. One
+    global window: at scale this becomes a two-pass prefix sum
+    (per-partition partials + offset broadcast); the single-window form
+    IS that plan under Spark's window exec for a single ORDER BY."""
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", n_tok.alias("n_tok"))
+        .withColumn(
+            "shard_id",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 4096.0).cast("bigint"),
+        )
+    )
+
+
+_PII_SENTENCE = (
+    " Contact jane.doe99@example-site.org or sales@corp.io today,"
+    " call 555-867-5309 or 212.555.0142 now."
+)
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+@q(
+    "docs_pii_scan",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 4000000, text || '{_PII_SENTENCE}'
+        FROM documents WHERE doc_id % 11 = 2
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phone
+    FROM corpus
+    WHERE len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+       OR len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+    """,
+)
+def docs_pii_scan(spark, sf_dir):
+    """PII pattern scan (email / phone counts per doc) — the redaction
+    pre-pass of a web-text pipeline. Patterns use only syntax Java regex
+    and RE2 interpret identically (explicit classes, bounded repeats —
+    no lookaround, no \\b). Planted PII sentences on 1/11 of the corpus
+    make the gate non-vacuous; only flagged docs are emitted (the scan
+    output is the redaction worklist, a tiny fraction of the corpus at
+    scale)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 11 == 2).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PII_SENTENCE)).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    n_email = F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint")
+    n_phone = F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("bigint")
+    return (
+        corpus.select("doc_id", n_email.alias("n_email"), n_phone.alias("n_phone"))
+        .where((F.col("n_email") > 0) | (F.col("n_phone") > 0))
+    )
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 
