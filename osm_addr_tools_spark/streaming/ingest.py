@@ -43,6 +43,32 @@ def windowed_lang_counts(pages: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def session_counts_stream(
+    df: DataFrame, gap: str = "24 hours", key: str = "user_id", ts: str = "ts"
+) -> DataFrame:
+    """Stateful session-window aggregation on a stream (§2.10 — the
+    streaming face of queries.events_session_window; same native
+    operator, now with watermark-driven state eviction). Append mode
+    emits a session once the watermark passes its end (= last event +
+    gap); the batch twin equals the stream restricted to sessions the
+    final watermark could close — pinned by
+    tests/test_multimodal_streaming.py::test_session_window_stream_matches_batch."""
+    # watermarks require TimestampType; events.ts is TIMESTAMP_NTZ and the
+    # cast is the identity wall-clock mapping under the UTC session zone
+    df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (
+        df.withWatermark(ts, "0 seconds")
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def extract_stream(pages: DataFrame) -> DataFrame:
     """EP1's X1+X2 stages applied to the stream (same kernels, same
     fused-UDF shape — batch/stream parity by construction)."""

@@ -270,3 +270,46 @@ def test_change_ledger_out_of_order_arrival_caveat(spark):
     # transitions; the stream saw A,A then B = 2
     assert batch_row.n_changes == 3
     assert stream.n_changes == 2
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native session_window on a STREAM (watermark-driven state
+    eviction) vs the batch face: append mode can only emit sessions whose
+    end (= last event + gap) the final watermark passed, so the stream
+    result must equal the batch result restricted to end_us <= final
+    watermark — and must be a strict, non-empty subset overall. Two
+    files force multi-microbatch state."""
+    import pandas as pd
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_stream")
+    # two deterministic halves -> two microbatches
+    events.where(F.col("event_id") % 2 == 0).write.parquet(f"{src}/p0")
+    events.where(F.col("event_id") % 2 == 1).write.parquet(f"{src}/p1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/p*")
+    )
+    got = ST.run_to_memory(
+        spark, ST.session_counts_stream(stream, gap="24 hours"), "sess_stream"
+    ).toPandas()
+
+    batch = (
+        events.groupBy("user_id", F.session_window(F.col("ts"), "24 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    max_us = int(
+        events.select(F.unix_micros(F.max("ts").cast("timestamp"))).collect()[0][0]
+    )
+    closeable = batch[batch.end_us <= max_us]
+    key = lambda df: set(zip(df.user_id, df.start_us, df.end_us, df.n_events))
+    assert key(got) == key(closeable)
+    assert 0 < len(got) < len(batch)
