@@ -756,6 +756,28 @@ def geo_distance_band_count(spark, sf_dir):
     return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_near"))
 
 
+@q("geo_building_supplier_overlap", None)
+def geo_building_supplier_overlap(spark, sf_dir):
+    """J9 polygon-polygon intersection join: synthetic buildings (generic
+    polygons incl. the holed/L/circle/seam stress shapes) × supplier
+    service rectangles. Candidates via double-sided C4 cover-cell
+    equi-join, exact refine via the edge-crossing + even-odd containment
+    kernel. Oracle exactness: every building whose bbox can reach a
+    supplier rect is a true rectangle (the stress shapes live away from
+    the supplier region — pytest-asserted), so strict bbox interval
+    overlap over the materialized bboxes IS exact polygon intersection
+    here, while the ENGINE runs the fully generic path."""
+    from osm_addr_tools_spark.operators.joins import polygon_join
+    from osm_addr_tools_spark.sources import synth as S
+
+    n = synth_n_pages(sf_dir)
+    buildings = S.synth_buildings(spark, n).select("building_id", "rings")
+    rects = _supplier_rects(spark, sf_dir)
+    return polygon_join(
+        buildings, rects, "building_id", "s_suppkey", level=19
+    ).select("building_id", "s_suppkey")
+
+
 _CLUSTER_D_M = 10.0
 
 
@@ -1303,6 +1325,16 @@ def emb_cosine_top3(spark, sf_dir):
 from osm_addr_tools_spark import oracle_support as _OS
 
 ODIR = _OS.oracle_dir(_OS.ORACLE_SF_DIR)
+
+# registered above (geo section) — the oracle needs ODIR, defined here
+ORACLES["geo_building_supplier_overlap"] = f"""
+    SELECT b.building_id, s.s_suppkey
+    FROM read_parquet('{ODIR}/buildings_bbox.parquet') b
+    CROSS JOIN (SELECT s_suppkey, {SUPP_LON} AS slon,
+                       {SUPP_LAT} AS slat FROM supplier) s
+    WHERE b.min_lon < s.slon + {RECT_W / 2} AND s.slon - {RECT_W / 2} < b.max_lon
+      AND b.min_lat < s.slat + {RECT_H / 2} AND s.slat - {RECT_H / 2} < b.max_lat
+"""
 
 _EX_HAV = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="ex.lon", lat2="ex.lat")
 

@@ -287,3 +287,52 @@ def test_knn_ring_sufficiency_raises_not_asserts(monkeypatch):
     monkeypatch.setattr(C, "level_for_max_distance", lambda d: C.MAX_LEVEL)
     with pytest.raises(ValueError, match="sufficiency violated"):
         knn_join(None, None, "qid", "cid", d_max_m=5000.0)
+
+
+def _poly_df(spark, items):
+    """items: [(id, [[(lon,lat), ...] ring, ...])] → (id, rings) DataFrame."""
+    data = [
+        (pid, [[{"lon": float(x), "lat": float(y)} for (x, y) in ring] for ring in rings])
+        for pid, rings in items
+    ]
+    return spark.createDataFrame(
+        data, "id long, rings array<array<struct<lon:double,lat:double>>>"
+    )
+
+
+def test_polygon_join_concave_holes_vs_geometry_truth(spark):
+    """J9 on the shapes a bbox join gets WRONG: a rect in an L-shape's
+    concave notch (bbox overlaps, no shared interior), a bar properly
+    crossing the arm (no vertex containment either way), a rect inside a
+    hole (covered by the outer bbox, inside no-man's land), and a rect
+    straddling the hole edge."""
+    from osm_addr_tools_spark.operators.joins import polygon_join
+
+    u = 0.0004
+    b = lambda x0, y0, x1, y1: [
+        (10 + x0 * u, 50 + y0 * u), (10 + x1 * u, 50 + y0 * u),
+        (10 + x1 * u, 50 + y1 * u), (10 + x0 * u, 50 + y1 * u),
+    ]
+    L = [[(10, 50), (10 + 3 * u, 50), (10 + 3 * u, 50 + u),
+          (10 + u, 50 + u), (10 + u, 50 + 3 * u), (10, 50 + 3 * u)]]
+    holed = [b(5, 5, 9, 9), b(6, 6, 8, 8)]
+    left = _poly_df(spark, [(1, L), (2, holed)])
+    right = _poly_df(spark, [
+        (10, [b(1.5, 1.5, 2.5, 2.5)]),   # in the notch: bbox hit, no interior
+        (11, [b(-0.5, 1.8, 1.5, 2.2)]),  # bar crossing the vertical arm
+        (12, [b(1.5, 0.25, 2.5, 0.75)]), # inside the bottom arm
+        (13, [b(10, 10, 11, 11)]),       # far away
+        (14, [b(6.5, 6.5, 7.5, 7.5)]),   # fully inside the hole
+        (15, [b(5.5, 6.5, 6.5, 7.5)]),   # straddles the hole edge
+    ])
+    left = left.withColumnRenamed("id", "lid")
+    right = right.withColumnRenamed("id", "rid")
+    got = polygon_join(left, right, "lid", "rid", level=18).toPandas()
+    pairs = set(zip(got.lid, got.rid))
+    assert pairs == {(1, 11), (1, 12), (2, 15)}, pairs
+
+    salted = polygon_join(
+        left, right, "lid", "rid", level=18, salt=True,
+        hot_threshold=2, rows_per_task=1,
+    ).toPandas()
+    assert set(zip(salted.lid, salted.rid)) == pairs
