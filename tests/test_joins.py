@@ -336,3 +336,75 @@ def test_polygon_join_concave_holes_vs_geometry_truth(spark):
         hot_threshold=2, rows_per_task=1,
     ).toPandas()
     assert set(zip(salted.lid, salted.rid)) == pairs
+
+
+def test_polygons_intersect_kernel_vs_convex_clip_reference(spark):
+    """Property gate for the J9 refine kernel: on random CONVEX polygon
+    pairs, shared-interior truth is computable independently by
+    Sutherland–Hodgman clipping (intersection area > 0). The kernel must
+    agree exactly away from degenerate boundary-touch configurations
+    (random reals: measure zero)."""
+    import numpy as np
+
+    from osm_addr_tools_spark.operators.joins import polygons_intersect_udf
+
+    def convex(rng, cx, cy, r, k):
+        # distinct angles on a circle, in order -> always strictly convex
+        # (random radii would give a star-shaped polygon, which breaks the
+        # Sutherland–Hodgman convexity precondition)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+    def clip_area(subject, clipper):
+        # Sutherland–Hodgman: clip subject by each clipper half-plane
+        def inside(p, a, b):
+            return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+        def line_isect(p, q, a, b):
+            x1, y1, x2, y2 = p[0], p[1], q[0], q[1]
+            x3, y3, x4, y4 = a[0], a[1], b[0], b[1]
+            den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+            t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+            return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+        # ensure ccw clipper
+        cp = clipper
+        if np.cross(cp[1] - cp[0], cp[2] - cp[0]) < 0:
+            cp = cp[::-1]
+        out = [tuple(p) for p in subject]
+        for i in range(len(cp)):
+            a, b = cp[i], cp[(i + 1) % len(cp)]
+            inp, out = out, []
+            if not inp:
+                break
+            for j in range(len(inp)):
+                p, q = inp[j], inp[(j + 1) % len(inp)]
+                pi, qi = inside(p, a, b), inside(q, a, b)
+                if pi and qi:
+                    out.append(q)
+                elif pi and not qi:
+                    out.append(line_isect(p, q, a, b))
+                elif not pi and qi:
+                    out.append(line_isect(p, q, a, b))
+                    out.append(q)
+        if len(out) < 3:
+            return 0.0
+        v = np.array(out)
+        x, y = v[:, 0], v[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    def edges_flat(v):
+        nxt = np.roll(v, -1, axis=0)
+        return np.concatenate([v, nxt], axis=1).ravel().tolist()
+
+    rng = np.random.default_rng(17)
+    kernel = polygons_intersect_udf().func  # unwrap the pandas_udf
+    import pandas as pd
+
+    ea, eb, want = [], [], []
+    for _ in range(250):
+        a = convex(rng, rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(0.2, 1.0), int(rng.integers(3, 9)))
+        b = convex(rng, rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(0.2, 1.0), int(rng.integers(3, 9)))
+        ea.append(edges_flat(a))
+        eb.append(edges_flat(b))
+        want.append(clip_area(a, b) > 1e-12)
+    got = kernel(pd.Series(ea), pd.Series(eb)).tolist()
+    assert got == want
