@@ -154,6 +154,10 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # argued
         "dedup_simhash": lambda: Q.QUERIES["dedup_simhash"](spark, sf_dir),
         "docs_winnow_partial_dups": lambda: Q.QUERIES["docs_winnow_partial_dups"](spark, sf_dir),
+        # r4: the composed geo flagship (distance-band join + connected
+        # components); the CC loop runs eagerly at build, so the honest
+        # wall is the build+exec column
+        "geo_customer_clusters": lambda: Q.QUERIES["geo_customer_clusters"](spark, sf_dir),
     }
 
 
