@@ -1,0 +1,131 @@
+"""Distributed prefix sum — running aggregate ordered by a global key
+(VERDICT r4 #1; generalizes the two-pass shape sources/osm_sink.py uses
+for dense negative-id assignment).
+
+``Window.orderBy(key)`` with NO ``partitionBy`` routes the ENTIRE input
+through one WindowExec task — the canonical Spark scale-killer (an empty
+partition spec is an all-to-one-partition plan, and Spark itself logs a
+"No Partition Defined for Window operation" warning). The distributed
+shape implemented here:
+
+1. bucket every row MONOTONICALLY in the order key (bucket ids
+   non-decreasing in the key), via a pure Column expression;
+2. one hash aggregate computes each bucket's partial sum;
+3. collect the ≤ ``num_buckets`` partials — bounded METADATA, not data
+   (the same bounded-collect contract as osm_sink.py's id buckets and
+   manifest.py's partition keys);
+4. prefix-sum the partials on the driver, broadcast the per-bucket
+   cumulative offsets back;
+5. run the running-sum window PER BUCKET (bounded window partitions) and
+   add the bucket's offset.
+
+Monotone bucketing is a deterministic EXPRESSION — uniform range buckets
+over [min, max] of the key (one min/max aggregate; parquet footer stats
+make it near-free under aggregate pushdown) — NOT ``repartitionByRange``:
+range-partition boundaries come from sampling and are resolved
+independently in each consuming stage, so the partials pass and the
+window pass could silently disagree on bucket assignment, while a pure
+function of the key cannot. Correctness never depends on bucket
+boundaries (any monotone bucketing yields the identical running sum —
+property-tested); skewed keys only IMBALANCE buckets. For heavy skew,
+pass explicit ``boundaries`` (e.g. from ``approxQuantile``) to get
+equi-depth buckets instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _uniform_bucket(key, kmin: float, kmax: float, nb: int):
+    """Monotone non-decreasing bucket id in [0, nb): uniform split of
+    [kmin, kmax]. Double rounding is monotone non-decreasing, * and /
+    by positive constants are monotone, floor is monotone — ties that
+    collapse across a boundary merely merge buckets, which the offset
+    pass absorbs."""
+    span = float(kmax) - float(kmin) + 1.0
+    raw = F.floor((key.cast("double") - F.lit(float(kmin))) * F.lit(float(nb)) / F.lit(span))
+    return F.greatest(F.lit(0), F.least(F.lit(nb - 1), raw)).cast("int")
+
+
+def _boundary_bucket(key, boundaries: list):
+    """Equi-depth bucket id = #boundaries ≤ key (boundaries sorted
+    ascending, e.g. from approxQuantile). O(len(boundaries)) JVM array
+    filter per row — fine for the ≤ few-thousand boundaries that make
+    sense here."""
+    arr = F.array(*[F.lit(b) for b in sorted(boundaries)])
+    return F.size(F.filter(arr, lambda x: x <= key)).cast("int")
+
+
+def running_sum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "running",
+    num_buckets: int | None = None,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = inclusive running SUM of ``value_col`` over
+    rows ordered globally by ``order_cols`` — the distributed equivalent
+    of ``F.sum(v).over(Window.orderBy(*order_cols).rowsBetween(
+    unboundedPreceding, currentRow))`` without the single-partition
+    window (identical output, property-tested).
+
+    ``order_cols``: str or list; the FIRST column is the bucketing key
+    and must be numeric (ids, timestamps). Remaining columns only break
+    ties inside the per-bucket window; rows that tie on ALL order columns
+    get an arbitrary-but-valid order among themselves, exactly like the
+    single-window form.
+
+    The ``df`` subtree is evaluated twice (partials pass + window pass) —
+    at scale, read it from columnar storage or persist it upstream; both
+    passes push the same pruned schema to the scan.
+    """
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    spark = df.sparkSession
+    key = F.col(order_cols[0])
+    if num_buckets is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_buckets = max(64, min(4096, parts * 4))
+
+    integral = isinstance(df.schema[value_col].dataType, _INTEGRAL)
+    sum_type = "long" if integral else "double"
+
+    if boundaries is not None:
+        bucket = _boundary_bucket(key, boundaries)
+    else:
+        bounds = df.agg(F.min(key), F.max(key)).first()
+        if bounds is None or bounds[0] is None:  # empty input: single bucket
+            bucket = F.lit(0).cast("int")
+        else:
+            bucket = _uniform_bucket(key, bounds[0], bounds[1], num_buckets)
+
+    b = df.withColumn("_psb", bucket)
+    partials = (
+        b.groupBy("_psb")
+        .agg(F.sum(value_col).cast(sum_type).alias("_n"))
+        .collect()  # bounded: ≤ num_buckets tiny rows (metadata, not data)
+    )
+    acc = 0 if integral else 0.0
+    offsets = []
+    for r in sorted(partials, key=lambda r: r._psb):
+        offsets.append((r._psb, acc))
+        acc += r._n if r._n is not None else (0 if integral else 0.0)
+    if not offsets:
+        return df.withColumn(out_col, F.col(value_col).cast(sum_type))
+    off = spark.createDataFrame(offsets, f"_psb int, _psoff {sum_type}")
+    w = (
+        Window.partitionBy("_psb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off), "_psb")
+        .withColumn(out_col, (F.col("_psoff") + F.sum(value_col).over(w)).cast(sum_type))
+        .drop("_psb", "_psoff")
+    )
