@@ -24,8 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    driver cap on entries-per-round drops only deliberately-redundant
+    second gates (queries.ordered_queries)."""
+    return Q.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -158,6 +158,12 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # components); the CC loop runs eagerly at build, so the honest
         # wall is the build+exec column
         "geo_customer_clusters": lambda: Q.QUERIES["geo_customer_clusters"](spark, sf_dir),
+        # r5: the distributed two-pass prefix sum (replaced the r4
+        # single-partition global window) and the embedding-seeded
+        # semantic-dedup retention composition (banded LSH → CC → anti-
+        # join; CC runs eagerly at build — read the algo column)
+        "docs_token_shards": lambda: Q.QUERIES["docs_token_shards"](spark, sf_dir),
+        "emb_dedup_retention": lambda: Q.QUERIES["emb_dedup_retention"](spark, sf_dir),
     }
 
 
@@ -244,6 +250,7 @@ def main() -> int:
     repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
+    algo_timings: dict[str, float] = {}
     samples: dict[str, list[list[float]]] = {}
     match_rows = 0
     for name, make in qs.items():
@@ -265,8 +272,22 @@ def main() -> int:
             materialize(df)
             t2 = time.perf_counter()
             samples[name].append([round(t2 - t0, 3), round(t2 - t1, 3)])
+            # release fingerprint tables the dedup operators persisted —
+            # otherwise repeated invocations pin |docs|-sized caches for
+            # the rest of the session (ADVICE r4)
+            from osm_addr_tools_spark.operators.dedup import release_persisted_fp
+
+            release_persisted_fp()
         timings[name] = min(s[0] for s in samples[name])
         exec_timings[name] = min(s[1] for s in samples[name])
+        # VERDICT r4 #3: the third per-query number. For queries whose
+        # algorithm runs EAGERLY at plan-build time (iterative
+        # connected-components loops: dedup_minhash_components,
+        # geo_customer_clusters), the build wall IS cluster work — report
+        # it explicitly so the 30 ms exec wall can't be misread as the
+        # query's cost. For everything else it is driver-side Catalyst
+        # analysis only.
+        algo_timings[name] = round(timings[name] - exec_timings[name], 3)
         if name == "conflate_join":
             # row count for throughput (cheap second pass over cached plan
             # would skew timings; count separately, not timed)
@@ -274,15 +295,16 @@ def main() -> int:
 
     headline = exec_timings["conflate_join"]
     out = {
-        "metric": "address-match join EXECUTION wall over stored inputs (salted "
-        "cell joins; driver-side plan-build reported separately in 'queries' "
-        "= build+exec; conflate_pipeline adds generation+extraction)",
+        # VERDICT r4 #2: r4's result line outgrew the driver's capture
+        # (BENCH_r04.json parsed: null) — keep the final line COMPACT:
+        # short metric, no samples (side file below).
+        "metric": "address-match join exec wall (build/algo walls per query)",
         "value": headline,
         "unit": "sec",
         "queries": timings,
         "queries_exec": exec_timings,
+        "queries_algo": algo_timings,
         "repeats": repeats,
-        "samples": samples,
         "sf": sf,
         "n_pages": n_pages,
         "match_rows": match_rows,
@@ -290,6 +312,10 @@ def main() -> int:
         "cpus": cpus,
     }
     spark.stop()
+    # raw per-repeat samples go to a side file, NOT the result line
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SAMPLES_last_run.json", "w") as f:
+        json.dump({"samples": samples, **out}, f, indent=1)
     print(json.dumps(out))
     return 0
 

@@ -34,6 +34,30 @@ from pyspark.sql.functions import pandas_udf
 
 from osm_addr_tools_spark.functions.text import _WORD_RE
 
+# Fingerprint tables persisted by simhash_pairs / winnow_partial_dups
+# (cache_fp=True). A persisted |docs|-sized table otherwise pins storage
+# memory for the rest of the session (ADVICE r4 — a slow leak for
+# long-lived sessions / repeated invocations): callers should invoke
+# release_persisted_fp() once the returned pair DataFrame has been
+# materialized (bench.py does, after every query run).
+_PERSISTED_FP: list[DataFrame] = []
+
+
+def release_persisted_fp() -> int:
+    """Unpersist every fingerprint table persisted by the pair operators
+    in this module; returns how many were released. Safe to call at any
+    time — an in-flight plan that still references a released table just
+    recomputes it."""
+    n = 0
+    while _PERSISTED_FP:
+        df = _PERSISTED_FP.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
+
 # ---------------------------------------------------------------------------
 # deterministic hashing helpers
 # ---------------------------------------------------------------------------
@@ -478,8 +502,11 @@ def simhash_pairs(
     """
     # the fingerprint subtree feeds FOUR plan branches (two join sides +
     # two rejoin sides); persist the |docs|-sized table once so the
-    # Arrow UDF runs once, not four times (it dominates otherwise)
+    # Arrow UDF runs once, not four times (it dominates otherwise).
+    # Lifetime: the cache lives until release_persisted_fp() — call it
+    # after materializing the returned pairs (ADVICE r4 leak note).
     fp = _simhash_fp(df, id_col, text_col, fp_col).persist()
+    _PERSISTED_FP.append(fp)
     cand = simhash_candidates(fp, max_hamming, blocks=blocks, salt=salt, **salt_kw)
     cand = cand.join(
         fp.select(F.col("_id").alias("a"), F.col("_fp").alias("fp_a")), "a"
@@ -538,6 +565,7 @@ def winnow_partial_dups(
     u = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp")).distinct()
     if cache_fp:
         u = u.persist()
+        _PERSISTED_FP.append(u)  # released via release_persisted_fp()
     if stop_fp_df is not None:
         hot = (
             u.groupBy("fp")
@@ -587,6 +615,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     checkpoint_buckets: int = 16,
+    job_id: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair set — the group-forming
     step every dedup pipeline needs after candidate pairs (MinHash, SimHash,
@@ -622,7 +651,11 @@ def connected_components(
     iteration continues from there. The manifest row is appended only
     after the round's write job succeeds, so a crash between write and
     append just rewrites that round (deterministic bytes, idempotent
-    overwrite — the S5 crash-window contract).
+    overwrite — the S5 crash-window contract). Resume is keyed on
+    (op, buckets, EDGE-SET IDENTITY): ``job_id`` if supplied, else an
+    order-independent edge-set fingerprint computed here — so reusing a
+    checkpoint_dir for a different graph re-runs instead of silently
+    resuming the previous graph's labels (ADVICE r4).
     """
     from osm_addr_tools_spark.plans import manifest as M
 
@@ -632,12 +665,35 @@ def connected_components(
         .distinct()
     )
     spark = edges.sparkSession
+    e = e.persist()
     cc_conf = {"op": "connected_components", "buckets": checkpoint_buckets}
+    if checkpoint_dir is not None:
+        # ADVICE r4: the config_hash must carry the IDENTITY OF THE EDGE
+        # SET — keyed on {op, buckets} alone, reusing a checkpoint_dir for
+        # a different graph silently resumed from the previous graph's
+        # stale label table. ``job_id``: caller-supplied identity (no
+        # extra job); default: an order-independent fingerprint of the
+        # symmetrized edge set — count + sum of per-edge xxhash64 in
+        # exact decimal(38,0) arithmetic (no overflow, no float rounding),
+        # one bounded aggregate over the already-persisted edges.
+        if job_id is None:
+            r = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            ).first()
+            job_id = f"{r.n}:{int(r.s or 0) % (1 << 64):x}"
+        cc_conf["edges"] = job_id
     cfg = M.config_hash(cc_conf)
+    # namespace the round tables by config hash as well: the manifest
+    # filter alone is not enough — dynamic partition overwrite only
+    # replaces the partitions the NEW job writes, so a different graph
+    # sharing a round directory would read back the old graph's leftover
+    # partition files (exactly the ADVICE r4 stale-resume failure)
+    ck_root = f"{checkpoint_dir}/{cfg}" if checkpoint_dir is not None else None
 
     def _ckpt_write(df: DataFrame, rnd: int) -> DataFrame:
-        out = f"{checkpoint_dir}/round={rnd}"
-        M.write_resumable(
+        out = f"{ck_root}/round={rnd}"
+        stats = M.write_resumable(
             spark,
             df.withColumn("_part", F.pmod(F.col("u"), F.lit(checkpoint_buckets))),
             out,
@@ -645,6 +701,12 @@ def connected_components(
             conf=cc_conf,
             part_col="_part",
         )
+        if stats["planned"] == 0:
+            # ADVICE r4: an empty label table has no partitions, so
+            # write_resumable creates no path — reading it back would
+            # throw. The input IS the (empty) result; lineage truncation
+            # is moot for zero rows.
+            return df.select("u", "lbl")
         return spark.read.parquet(out).select("u", "lbl")
 
     start_round = 0
@@ -655,10 +717,10 @@ def connected_components(
         # so round numbers can exceed one run's own budget)
         for rnd in range(max_iter * 4, 0, -1):
             done = M.completed_parts(
-                spark, f"{checkpoint_dir}/round={rnd}", f"cc_round_{rnd}", cfg
+                spark, f"{ck_root}/round={rnd}", f"cc_round_{rnd}", cfg
             )
             if done is not None and done.limit(1).count() > 0:
-                labels = spark.read.parquet(f"{checkpoint_dir}/round={rnd}").select(
+                labels = spark.read.parquet(f"{ck_root}/round={rnd}").select(
                     "u", "lbl"
                 )
                 start_round = rnd
@@ -677,7 +739,6 @@ def connected_components(
     # gets the same truncation from its parquet round-trip.
     if checkpoint_dir is None:
         labels = labels.localCheckpoint()
-    e = e.persist()
     # max_iter bounds THIS run's new rounds (a resumed run gets its own
     # fresh budget on top of the checkpointed progress)
     for rnd in range(start_round + 1, start_round + max_iter + 1):

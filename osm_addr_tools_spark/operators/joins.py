@@ -365,6 +365,19 @@ def polygons_intersect_udf():
     orientation grid — all-numpy inner math, bounded by polygon vertex
     counts (≤ ~240 in the stress fixtures), so the per-pair Python
     overhead is constant like the F3 similarity refine.
+
+    PRECONDITION — general position (ADVICE r4): containment is probed at
+    only the FIRST vertex of each polygon, and boundary-degenerate pairs
+    (collinear overlapping edges, a vertex lying exactly on the other
+    polygon's edge, two axis-aligned rectangles sharing an exact extent)
+    have no PROPER crossing, so the decision falls to a ray cast through
+    a boundary point — ordering-dependent, can classify either way. Such
+    configurations are measure-zero for float inputs and are scoped out
+    of the convex-clip property suite; callers with adversarially exact
+    coordinates (integer grids, shared borders) should perturb inputs or
+    pre-filter exact-touch pairs. Full collinear/on-segment tie-breaking
+    is deliberately NOT implemented: strict-interior semantics on exact
+    touches is a policy choice the oracle fixtures don't exercise.
     """
 
     def _cross(ox, oy, ax, ay, bx, by):

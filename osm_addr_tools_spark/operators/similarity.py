@@ -126,6 +126,89 @@ def lsh_ann_topk(
     )
 
 
+def hyperplane_bands_udf(dim: int, n_planes: int, bands: int, seed: int):
+    """All ``bands`` hyperplane buckets in ONE Arrow pass: band b uses an
+    independent plane set seeded ``seed + b``; returns array<long> indexed
+    by band (posexplode at the call site). One batched matrix multiply
+    against the (dim × bands·n_planes) stacked planes — b× fewer UDF
+    passes over the corpus than calling hyperplane_bucket_udf per band."""
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + b).standard_normal((dim, n_planes))
+            for b in range(bands)
+        ],
+        axis=1,
+    )
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<long>")
+    def buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        bits = (m @ planes) > 0  # (n, bands*n_planes)
+        per_band = bits.reshape(len(m), bands, n_planes)
+        vals = (per_band * weights).sum(axis=2).astype(np.int64)
+        return pd.Series([row.tolist() for row in vals])
+
+    return buckets
+
+
+def lsh_semantic_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 97,
+    salt: bool = False,
+    **salt_kw,
+) -> DataFrame:
+    """SEMANTIC near-duplicate pairs (a < b, cosine ≥ threshold) over one
+    embedding table — the candidate generator for embedding-based dedup
+    (pairs → connected_components → min-id retention, the same composition
+    as the MinHash families in operators.dedup).
+
+    Banded hyperplane LSH: ``bands`` independent plane sets; two vectors
+    are candidates iff ALL ``n_planes`` sign bits agree in ≥1 band (the
+    cosine analog of MinHash banding — more bands raise recall, more
+    planes per band cut candidates). Scale shape mirrors simhash_pairs:
+    candidates travel as bare (band, bucket, id) through the equi-join,
+    embeddings REJOIN by id only for the exact cosine verify, and the
+    verify itself is JVM Column math (zip_with/aggregate). ``salt=True``
+    routes the bucket join through J3 with (band, bucket) folded into one
+    64-bit key (collisions only ADD candidates, never drop one)."""
+    from osm_addr_tools_spark.operators.joins import salted_join
+
+    ids = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bu = hyperplane_bands_udf(dim, n_planes, bands, seed)
+    keyed = ids.select(
+        "_id", F.posexplode(bu(F.col("_v"))).alias("_band", "_bucket")
+    )
+    lhs = keyed.select(F.col("_id").alias("a"), "_band", "_bucket")
+    rhs = keyed.select(F.col("_id").alias("b"), "_band", "_bucket")
+    if salt:
+        lk = lhs.select("a", F.xxhash64("_band", "_bucket").alias("_k"))
+        rk = rhs.select("b", F.xxhash64("_band", "_bucket").alias("_k"))
+        cand = salted_join(lk, rk, "_k", F.col("a"), **salt_kw)
+    else:
+        cand = lhs.join(rhs.hint("shuffle_hash"), ["_band", "_bucket"])
+    pairs = (
+        cand.where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = ids.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = ids.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(va.hint("shuffle_hash"), "a")
+        .join(vb.hint("shuffle_hash"), "b")
+        .withColumn("sim", cosine_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def kmeans_centroids(vectors: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42):
     """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer
     (driver-side on a SAMPLE — the only non-distributed step, bounded)."""

@@ -29,11 +29,17 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 4
+_VERSION = 5
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
 ANN_N_PROBES = 4
+# banded semantic-dedup LSH (emb_dedup_retention): bands independent
+# plane sets, seeds SEM_SEED+band — mirrored EXACTLY by
+# operators.similarity.hyperplane_bands_udf
+SEM_N_PLANES = 8
+SEM_BANDS = 4
+SEM_SEED = 97
 TILE_LEVEL = 16
 
 # The driver's correctness gate runs queries() vs oracle_sql() at THIS
@@ -251,6 +257,33 @@ def _ann_buckets(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return qb, cb
 
 
+def _emb_bands(sf_dir: str) -> pd.DataFrame:
+    """Banded hyperplane buckets over the PLANTED embedding corpus for
+    emb_dedup_retention: originals + exact copies (vec_id%25==3 →
+    +1_000_000) + half-scaled copies (vec_id%50==3 → +2_000_000, elements
+    × 0.5 — cosine exactly ≈1 with the source, sign bits identical). The
+    plant formulas are mirrored in the query's Spark plan and its DuckDB
+    corpus CTE; band b's planes are default_rng(SEM_SEED + b) — the same
+    float64 math as hyperplane_bands_udf, so buckets agree bit-for-bit."""
+    e = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    vid = e["vec_id"].to_numpy()
+    p1, p2 = vid % 25 == 3, vid % 50 == 3
+    ids = np.concatenate([vid, vid[p1] + 1_000_000, vid[p2] + 2_000_000])
+    vecs = np.concatenate([m, m[p1], 0.5 * m[p2]])
+    out = []
+    for b in range(SEM_BANDS):
+        planes = np.random.default_rng(SEM_SEED + b).standard_normal(
+            (EMB_DIM, SEM_N_PLANES)
+        )
+        bits = (vecs @ planes) > 0
+        bucket = (bits * (1 << np.arange(SEM_N_PLANES))).sum(axis=1).astype(np.int64)
+        out.append(pd.DataFrame({"vec_id": ids, "band": b, "bucket": bucket}))
+    return pd.concat(out, ignore_index=True)
+
+
 def _ivf_buckets(sf_dir: str, n_centroids: int = 16, n_probe: int = 3,
                  sample: int = 2000) -> tuple[pd.DataFrame, pd.DataFrame]:
     """IVF list assignments for the registered ANN-IVF query: the coarse
@@ -345,7 +378,10 @@ def ensure(sf_dir: str) -> str:
             (gx.lon > r.min_lon) & (gx.lon < r.max_lon)
             & (gx.lat > r.min_lat) & (gx.lat < r.max_lat)
         )
-        assert not inside.any(), f"address inside special building {r.building_id} bbox"
+        if inside.any():  # ValueError, not assert: python -O must not skip
+            raise ValueError(
+                f"address inside special building {r.building_id} bbox"
+            )
     bbox.drop(columns=["special"]).to_parquet(
         os.path.join(out, "buildings_bbox.parquet"), index=False
     )
@@ -363,6 +399,8 @@ def ensure(sf_dir: str) -> str:
     qb, cb = _ann_buckets(sf_dir)
     qb.to_parquet(os.path.join(out, "ann_q_buckets.parquet"), index=False)
     cb.to_parquet(os.path.join(out, "ann_c_buckets.parquet"), index=False)
+
+    _emb_bands(sf_dir).to_parquet(os.path.join(out, "emb_bands.parquet"), index=False)
 
     iq, ic = _ivf_buckets(sf_dir)
     iq.to_parquet(os.path.join(out, "ivf_q_lists.parquet"), index=False)

@@ -356,6 +356,56 @@ def _uf_components(edges):
     return {v: find(v) for v in parent}
 
 
+def test_lsh_semantic_pairs_exact_over_candidates(spark):
+    """lsh_semantic_pairs = banded candidate generation + EXACT cosine
+    verify: every emitted pair must be genuinely ≥ threshold (no false
+    positives, checked vs numpy), and pairs of IDENTICAL/scaled vectors —
+    which share every bucket in every band — must always be found."""
+    from osm_addr_tools_spark.operators.similarity import lsh_semantic_pairs
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    ep = e.toPandas()
+    base = spark.createDataFrame(ep[["vec_id", "embedding"]]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = base.unionByName(copies)
+    got = lsh_semantic_pairs(corpus, threshold=0.95, dim=64).toPandas()
+    vecs = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    for r in got.itertuples():
+        assert cos(r.a, r.b) >= 0.95 - 1e-12  # exact verify: no false pos
+    expected = {(int(v), int(v) + 10_000) for v in ep.vec_id if v % 7 == 0}
+    assert expected <= set(zip(got.a, got.b))  # scaled copies never lost
+
+
+def test_lsh_semantic_pairs_salted_equals_unsalted(spark):
+    from osm_addr_tools_spark.operators.similarity import lsh_semantic_pairs
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(150).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.where(F.col("vec_id") % 9 == 1).select(
+        (F.col("vec_id") + 5_000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dup)
+    plain = lsh_semantic_pairs(corpus, threshold=0.9, dim=64).toPandas()
+    salted = lsh_semantic_pairs(
+        corpus, threshold=0.9, dim=64, salt=True, hot_threshold=5, rows_per_task=10
+    ).toPandas()
+    assert set(zip(plain.a, plain.b)) == set(zip(salted.a, salted.b))
+
+
 def test_connected_components_chain_and_islands(spark):
     """Long chain (pointer-jump stress: diameter 12 ≫ log rounds), two
     islands, and a triangle — labels must equal the union-find reference."""
@@ -474,7 +524,10 @@ def test_connected_components_checkpoint_resume(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(df, max_iter=1, checkpoint_dir=ck)
-    r1 = f"{ck}/round=1"
+    # round tables live under <dir>/<config_hash>/ (r5: the hash carries
+    # the edge-set fingerprint so other graphs can't collide)
+    (cfg_dir,) = os.listdir(ck)
+    r1 = f"{ck}/{cfg_dir}/round=1"
     assert os.path.isdir(r1)
     mtimes_before = {
         f: os.path.getmtime(os.path.join(dp, f))
@@ -496,7 +549,64 @@ def test_connected_components_checkpoint_resume(spark, tmp_path):
     }
     assert mtimes_before == mtimes_after
     # later rounds were written by the resumed run
-    assert any(d.startswith("round=") and d != "round=1" for d in os.listdir(ck))
+    assert any(
+        d.startswith("round=") and d != "round=1"
+        for d in os.listdir(f"{ck}/{cfg_dir}")
+    )
+
+
+def test_connected_components_checkpoint_other_graph_not_resumed(spark, tmp_path):
+    """ADVICE r4: resume is keyed on the EDGE SET, not just {op, buckets}.
+    Reusing a checkpoint_dir for a different graph must recompute that
+    graph's components, never resume the previous graph's labels."""
+    ck = str(tmp_path / "cc_ckpt_shared")
+    g1 = [(0, 1), (1, 2), (10, 11)]
+    g2 = [(0, 1), (2, 3), (10, 12)]  # different topology, same dir
+    d1 = spark.createDataFrame(pd.DataFrame(g1, columns=["a", "b"]))
+    d2 = spark.createDataFrame(pd.DataFrame(g2, columns=["a", "b"]))
+    got1 = {
+        r.v: r.component
+        for r in D.connected_components(d1, checkpoint_dir=ck).collect()
+    }
+    got2 = {
+        r.v: r.component
+        for r in D.connected_components(d2, checkpoint_dir=ck).collect()
+    }
+    assert got1 == _uf_components(g1)
+    assert got2 == _uf_components(g2)
+    # and the pointer-jump invariant holds: labels cover every vertex of g2
+    assert set(got2) == {0, 1, 2, 3, 10, 12}
+
+
+def test_connected_components_checkpoint_empty_edges(spark, tmp_path):
+    """ADVICE r4: an empty edge set with checkpoint_dir set must return an
+    empty label table, not crash on a missing parquet path."""
+    empty = spark.createDataFrame(pd.DataFrame({"a": [], "b": []}), "a long, b long")
+    out = D.connected_components(empty, checkpoint_dir=str(tmp_path / "cc_empty"))
+    assert out.columns == ["v", "component"]
+    assert out.count() == 0
+
+
+def test_connected_components_caller_job_id_keys_resume(spark, tmp_path):
+    """A caller-supplied job_id replaces the computed edge fingerprint:
+    distinct job_ids in one dir are independent resumable jobs."""
+    ck = str(tmp_path / "cc_jobid")
+    g = [(5, 6), (6, 7)]
+    df = spark.createDataFrame(pd.DataFrame(g, columns=["a", "b"]))
+    got = {
+        r.v: r.component
+        for r in D.connected_components(df, checkpoint_dir=ck, job_id="j1").collect()
+    }
+    assert got == _uf_components(g)
+
+
+def test_simhash_release_persisted_fp(spark, docs_with_planted):
+    """ADVICE r4 leak note: simhash_pairs persists its fingerprint table;
+    release_persisted_fp() must unpersist it (and be idempotent)."""
+    pairs = D.simhash_pairs(docs_with_planted, max_hamming=3)
+    pairs.count()
+    assert D.release_persisted_fp() >= 1
+    assert D.release_persisted_fp() == 0
 
 
 def test_simhash_batch_equals_scalar():

@@ -75,3 +75,56 @@ def test_oracle_ensure_atomic_and_idempotent(tmp_path, monkeypatch):
     d2 = OS.ensure("/root/testdata/sf0.001")
     assert d2 == d1
     assert os.path.getmtime(os.path.join(d1, "extracted.parquet")) == mtime
+
+
+def test_percentile_approx_full_accuracy_is_quantile_disc(spark):
+    """Pins the engineered-exact rule behind orders_price_quartiles_approx:
+    percentile_approx at accuracy INT_MAX returns the exact discrete
+    quantile — the smallest element with rank ≥ ceil(p·n) — across group
+    sizes and heavy duplicate patterns."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    for n in (1, 2, 3, 5, 8, 40, 173):
+        # heavy dups: values drawn from a small alphabet
+        vals = sorted(rng.choice(range(7)) for _ in range(n))
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = df.agg(
+            F.percentile_approx(
+                "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(2147483647)
+            ).alias("p")
+        ).first().p
+        want = [vals[max(0, math.ceil(p * n) - 1)] for p in (0.25, 0.5, 0.75)]
+        assert got == want, (n, got, want)
+
+
+def test_percentile_approx_production_accuracy_error_bound(spark):
+    """The plan you'd run at 10¹² rows: accuracy=1000 must return an
+    element within rank error n/accuracy of the exact quantile."""
+    import math
+
+    o = Q.load(spark, SF_DIR, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    vals = sorted(r.cents for r in o.collect())
+    n = len(vals)
+    acc = 1000
+    got = o.agg(
+        F.percentile_approx("cents", F.lit(0.5), F.lit(acc)).alias("p")
+    ).first().p
+    exact_rank = math.ceil(0.5 * n) - 1
+    lo = vals[max(0, exact_rank - (n // acc) - 1)]
+    hi = vals[min(n - 1, exact_rank + (n // acc) + 1)]
+    assert lo <= got <= hi
+
+
+def test_emb_dedup_retention_drops_all_plants(spark):
+    """Every planted copy (+1e6 exact, +2e6 half-scaled) must be dropped —
+    identical sign bits put copies in the SAME bucket in every band, so
+    banding cannot lose these pairs — and every original retained."""
+    out = Q.QUERIES["emb_dedup_retention"](spark, SF_DIR).toPandas()
+    kept = set(out.vec_id)
+    n_orig = Q.load(spark, SF_DIR, "embeddings").count()
+    assert all(v < 1_000_000 for v in kept)
+    assert len(kept) == n_orig
