@@ -90,7 +90,10 @@ def running_sum(
     spark = df.sparkSession
     key = F.col(order_cols[0])
     if num_buckets is None:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:  # e.g. "auto" under some AQE configs
+            parts = 200
         num_buckets = max(64, min(4096, parts * 4))
 
     integral = isinstance(df.schema[value_col].dataType, _INTEGRAL)
@@ -99,11 +102,16 @@ def running_sum(
     if boundaries is not None:
         bucket = _boundary_bucket(key, boundaries)
     else:
-        bounds = df.agg(F.min(key), F.max(key)).first()
+        # min/max over the DOUBLE view of the key: keeps the driver-side
+        # arithmetic type-free (timestamps become epoch seconds, ints/
+        # floats pass through); double rounding of an int64 key is
+        # monotone non-decreasing, which is all bucketing needs
+        kd = key.cast("double")
+        bounds = df.agg(F.min(kd), F.max(kd)).first()
         if bounds is None or bounds[0] is None:  # empty input: single bucket
             bucket = F.lit(0).cast("int")
         else:
-            bucket = _uniform_bucket(key, bounds[0], bounds[1], num_buckets)
+            bucket = _uniform_bucket(kd, bounds[0], bounds[1], num_buckets)
 
     b = df.withColumn("_psb", bucket)
     partials = (

@@ -109,3 +109,21 @@ def test_token_shards_matches_r4_single_window_form(spark):
     )
     got = Q.QUERIES["docs_token_shards"](spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_running_sum_timestamp_key(spark):
+    # bucketing must handle non-numeric-but-ordered keys (timestamps →
+    # epoch-seconds double view); output identical to the global window
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(((pd.Series(range(400)) * 37) % 400), unit="m"),
+            "v": [(i * 7) % 23 for i in range(400)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = running_sum(df, "ts", "v", out_col="r", num_buckets=13)
+    want = _single_window(df, "ts", "v", "r")
+    assert sorted((r.ts, r.v, r.r) for r in got.collect()) == sorted(
+        (r.ts, r.v, r.r) for r in want.collect()
+    )
