@@ -1231,6 +1231,91 @@ def docs_split_assign(spark, sf_dir):
 
 
 @q(
+    "docs_stratified_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             ((doc_id * 2654435761) % 4294967296) % 1000 AS h
+      FROM documents
+    )
+    SELECT doc_id, lang FROM s
+    WHERE h < (CASE WHEN lang = 'en' THEN 200 ELSE 600 END)
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Stratified corpus sampling — the language-rebalancing pass of a
+    training-data pipeline (downsample the majority language, upsample
+    the rest: en keeps 20%, every other stratum 60%). Membership is a
+    pure function of doc_id (the docs_split_assign Fibonacci hash, mod
+    1000, against a per-stratum threshold) — reproducible across runs,
+    stable under corpus growth, join-free and shuffle-free: one scan,
+    one JVM filter, no sampling state to ship. Never rand()/TABLESAMPLE:
+    both are partition-layout-dependent."""
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    rate = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(600))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .where(h < rate)
+    )
+
+
+@q(
+    "docs_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rn
+      FROM tf JOIN dfq USING (term)
+    ) WHERE rn <= 3
+    """,
+)
+def docs_top_terms(spark, sf_dir):
+    """Per-document salient terms with corpus document frequency — the
+    TF-IDF-shaped corpus statistic (keyword extraction / quality
+    features). Ranking is INTEGER-ONLY by design: (tf DESC, df ASC, term
+    ASC) orders by frequency then rarity — the same ordering TF-IDF
+    induces for a fixed tf — without a float idf score whose last-ulp
+    ln() differences between engines could flip ranks at ties.
+
+    Scale shape: explode(tokens) → (doc, term) hash agg (map-side
+    combined) → per-term df derived from the SAME aggregate (one extra
+    shuffle on term) → 1-row-per-term df table joined back on term (AQE
+    picks broadcast when vocab fits, shuffle join otherwise — vocab
+    grows with the corpus, so never force-broadcast) → per-doc top-k
+    window. Stopword-grade hot terms are 1:N joins against a single df
+    row, not N×M wedges — no candidate blowup to cap."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfq, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+    )
+
+
+@q(
     "docs_token_shards",
     """
     WITH t AS (
@@ -2173,10 +2258,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # falling off the end, if any, are redundant SECOND gates of operator
 # families that keep another hash-green row — never a family's only gate.
 _REGISTRY_TAIL = [
-    "grouping_sets_order_year",    # A5 keeps rollup_order_status (+ cube)
-    "cube_order_priority",         # A5 keeps rollup_order_status
+    # ordered most-valuable-first: a cap drops from the very END
+    "customers_without_orders",    # J6 keeps both dedup retention anti-joins
+    "events_lag_delta",            # W2 keeps events_change_ledger (+ stream parity)
     "repeat_customers_intersect",  # O4 keeps churned_customers_except
     "events_session_window",       # W3 session keeps events_sessionization
+    "cube_order_priority",         # A5 keeps rollup_order_status
+    "grouping_sets_order_year",    # A5 keeps rollup + cube forms
 ]
 
 

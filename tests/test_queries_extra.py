@@ -128,3 +128,47 @@ def test_emb_dedup_retention_drops_all_plants(spark):
     n_orig = Q.load(spark, SF_DIR, "embeddings").count()
     assert all(v < 1_000_000 for v in kept)
     assert len(kept) == n_orig
+
+
+def test_stratified_sample_rates(spark):
+    """Both strata must be present with rates near their targets (en 20%,
+    others 60%) — guards against a vacuous gate (e.g. a threshold typo
+    keeping everything or nothing)."""
+    full = Q.load(spark, SF_DIR, "documents").groupBy("lang").count().toPandas()
+    kept = (
+        Q.QUERIES["docs_stratified_sample"](spark, SF_DIR)
+        .groupBy("lang").count().toPandas()
+    )
+    f = dict(zip(full.lang, full["count"]))
+    k = dict(zip(kept.lang, kept["count"]))
+    for lang, n in f.items():
+        rate = k.get(lang, 0) / n
+        target = 0.2 if lang == "en" else 0.6
+        assert abs(rate - target) < 0.15, (lang, rate)
+
+
+def test_top_terms_rank_is_integer_deterministic(spark):
+    """Every emitted (doc, term) must be a genuine top-3 of its doc under
+    (tf DESC, df ASC, term ASC) — recomputed independently in pandas."""
+    out = Q.QUERIES["docs_top_terms"](spark, SF_DIR).toPandas()
+    assert (out.groupby("doc_id").size() <= 3).all()
+    import re
+    from collections import Counter
+
+    docs = Q.load(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+    tf = {
+        int(r.doc_id): Counter(re.findall(r"[a-z]+", r.text.lower()))
+        for r in docs.itertuples()
+    }
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    for doc_id, g in out.groupby("doc_id"):
+        want = sorted(
+            tf[int(doc_id)].items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0])
+        )[:3]
+        got = sorted(
+            zip(g.term, g.tf, g.df),
+            key=lambda t: (-t[1], t[2], t[0]),
+        )
+        assert [(t, c, df[t]) for t, c in want] == [tuple(x) for x in got]
