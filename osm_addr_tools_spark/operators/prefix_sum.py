@@ -137,3 +137,22 @@ def running_sum(
         .withColumn(out_col, (F.col("_psoff") + F.sum(value_col).over(w)).cast(sum_type))
         .drop("_psb", "_psoff")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "row_num",
+    **kwargs,
+) -> DataFrame:
+    """1-based global row number ordered by ``order_cols`` — the
+    distributed replacement for ``F.row_number().over(Window.orderBy(...))``
+    (same single-task WindowExec hazard as the running sum). Implemented
+    as the running sum of 1; same contract as running_sum (first order
+    column numeric/timestamp; ties get an arbitrary-but-valid order).
+    The sequential-example-id assignment a training manifest needs."""
+    one = "_ps_one"
+    return running_sum(
+        df.withColumn(one, F.lit(1).cast("long")), order_cols, one,
+        out_col=out_col, **kwargs,
+    ).drop(one)

@@ -127,3 +127,21 @@ def test_running_sum_timestamp_key(spark):
     assert sorted((r.ts, r.v, r.r) for r in got.collect()) == sorted(
         (r.ts, r.v, r.r) for r in want.collect()
     )
+
+
+def test_global_row_number_matches_window(spark):
+    from osm_addr_tools_spark.operators.prefix_sum import global_row_number
+
+    import random
+
+    rng = random.Random(3)
+    keys = list(range(1000))
+    rng.shuffle(keys)
+    df = spark.createDataFrame(pd.DataFrame({"k": keys})).repartition(8)
+    got = {(r.k, r.row_num) for r in global_row_number(df, "k", num_buckets=17).collect()}
+    w = Window.orderBy("k")
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want

@@ -26,6 +26,10 @@ def run_bench(cpus: int, n_pages: int, sf_dir: str) -> dict:
         SPARK_GRAFT_N_PAGES=str(n_pages),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_QUERY_REPEATS="2",
+        # the trend is defined on conflate_join alone (the only query
+        # whose input scales with n_pages); skipping the rest makes the
+        # 12× point affordable
+        SPARK_GRAFT_BENCH_ONLY="conflate_join",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -78,7 +82,13 @@ path or skew collapse.
 Raw samples (build+exec / exec seconds per repeat):
 """)
         for n, r in zip(sizes, runs):
-            f.write(f"- n={n}: {r['samples']['conflate_join']}\n")
+            # r5: bench.py moved samples to a side file; fall back to the
+            # best-of walls when the line doesn't carry them
+            s = r.get("samples", {}).get(
+                "conflate_join",
+                [[r["queries"]["conflate_join"], r["queries_exec"]["conflate_join"]]],
+            )
+            f.write(f"- n={n}: {s}\n")
     print(json.dumps({
         "sizes": sizes,
         "throughput": [r["throughput_rows_per_sec"] for r in runs],
