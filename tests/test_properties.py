@@ -114,3 +114,31 @@ def test_winnow_matches_bruteforce(s):
     from tests.test_text import _winnow_naive
 
     assert T.winnow_fingerprints(s) == _winnow_naive(s)
+
+
+# --- prefix-sum bucketing (operators/prefix_sum.py) -------------------------
+# The distributed running sum is correct iff bucket assignment is monotone
+# NON-DECREASING in the order key (any monotone bucketing yields the
+# identical running sum once offsets are added). The Column expression is
+# floor((double(k) - min) * nb / span) clamped to [0, nb); replicate it in
+# float64 (same IEEE semantics) and pin monotonicity over adversarial
+# int64 keys — including magnitudes where double rounding collapses
+# neighboring keys (collapse merges buckets, which is harmless; a RANK
+# INVERSION would corrupt the prefix sum).
+
+_keys64 = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_keys64, st.integers(min_value=1, max_value=4096))
+def test_uniform_bucket_monotone_in_key(keys, nb):
+    k = np.array(sorted(keys), dtype=np.int64)
+    kd = k.astype(np.float64)
+    kmin, kmax = float(kd.min()), float(kd.max())
+    span = kmax - kmin + 1.0
+    raw = np.floor((kd - kmin) * float(nb) / span)
+    b = np.clip(raw, 0, nb - 1)
+    assert (np.diff(b) >= 0).all()          # monotone: no rank inversion
+    assert b.min() >= 0 and b.max() <= nb - 1
