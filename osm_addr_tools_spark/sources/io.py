@@ -50,3 +50,34 @@ def write_partitioned_by_cell(
     partition pruning on the spatial key and co-locates downstream cell
     joins (SURVEY §4 partition-pruning row)."""
     df.write.partitionBy(cell_col).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """S3b — bucketed-table sink (beyond-spec; the storage-level
+    co-location SURVEY §4 gets from cell_p partition pruning, taken one
+    step further): ``bucketBy(buckets, key)`` hashes rows into a FIXED
+    bucket layout at write time, so any later equi-join or aggregation on
+    ``key`` between tables bucketed the same way runs with ZERO shuffle
+    exchanges — Spark proves both sides share the hash partitioning and
+    plans a local sort-merge/hash join per bucket (plan-gated in
+    tests/test_bucketed.py). At 100 TB this converts the nightly
+    "re-join everything on doc_id/cell" workloads from full-corpus
+    shuffles into embarrassingly-parallel per-bucket work; the trade is
+    the fixed bucket count, chosen once per table (64 here ≈ thousands
+    of files at production partition sizes — size to the cluster).
+
+    ``sortBy(key)`` additionally pre-sorts within buckets so sort-merge
+    joins skip their sort stage. Uses the session catalog
+    (saveAsTable — in-memory catalog works; production would point the
+    same call at an Iceberg/HMS catalog, the S1 ``table:`` binding)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
