@@ -1356,6 +1356,28 @@ def docs_token_shards(spark, sf_dir):
     )
 
 
+@q(
+    "docs_example_ids",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS example_id
+    FROM documents
+    """,
+)
+def docs_example_ids(spark, sf_dir):
+    """Sequential example-id assignment (training-manifest numbering):
+    1-based global row number in doc_id order via
+    operators.prefix_sum.global_row_number — the distributed two-pass
+    plan (running sum of 1), never a single-task row_number window."""
+    from osm_addr_tools_spark.operators.prefix_sum import global_row_number
+
+    return global_row_number(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        out_col="example_id",
+    ).select("doc_id", F.col("example_id").cast("bigint").alias("example_id"))
+
+
 _PII_SENTENCE = (
     " Contact jane.doe99@example-site.org or sales@corp.io today,"
     " call 555-867-5309 or 212.555.0142 now."
@@ -2259,6 +2281,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # families that keep another hash-green row — never a family's only gate.
 _REGISTRY_TAIL = [
     # ordered most-valuable-first: a cap drops from the very END
+    "events_running_cents",        # W3 frames keep quartiles + sessionization sums
     "customers_without_orders",    # J6 keeps both dedup retention anti-joins
     "events_lag_delta",            # W2 keeps events_change_ledger (+ stream parity)
     "repeat_customers_intersect",  # O4 keeps churned_customers_except
