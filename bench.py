@@ -287,7 +287,7 @@ def main() -> int:
         # it explicitly so the 30 ms exec wall can't be misread as the
         # query's cost. For everything else it is driver-side Catalyst
         # analysis only.
-        algo_timings[name] = round(timings[name] - exec_timings[name], 3)
+        algo_timings[name] = min(round(s[0] - s[1], 3) for s in samples[name])
         if name == "conflate_join":
             # row count for throughput (cheap second pass over cached plan
             # would skew timings; count separately, not timed)
