@@ -1203,13 +1203,19 @@ def docs_winnow_partial_dups(spark, sf_dir):
 ORACLES["docs_winnow_partial_dups"] = _winnow_partial_dup_oracle_sql()
 
 
+def _fib_sql(mod: int = 1000) -> str:
+    from osm_addr_tools_spark.operators.sampling import fib_bucket_sql
+
+    return fib_bucket_sql("doc_id", mod)
+
+
 @q(
     "docs_split_assign",
-    """
+    f"""
     SELECT doc_id,
-           CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS BIGINT) AS bucket,
-           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 980 THEN 'train'
-                WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 990 THEN 'val'
+           {_fib_sql()} AS bucket,
+           CASE WHEN {_fib_sql()} < 980 THEN 'train'
+                WHEN {_fib_sql()} < 990 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -1221,21 +1227,23 @@ def docs_split_assign(spark, sf_dir):
     integer expression BOTH engines evaluate exactly — no engine hash
     functions, which differ between Spark and DuckDB). A doc's split
     never changes as the corpus grows, and membership is computable from
-    the id alone (no lookup table to ship)."""
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        bucket.cast("bigint").alias("bucket"),
-        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test").alias("split"),
-    )
+    the id alone (no lookup table to ship). The multiply runs in exact
+    DECIMAL arithmetic on both engines — in int64 it overflows past
+    doc_id 3 474 701 543 (VERDICT r5 #1), i.e. exactly at design scale;
+    boundary-spanning ids are pinned vs a pure-Python reference in
+    tests/test_sampling.py. Implementation: operators.sampling.split_assign."""
+    from osm_addr_tools_spark.operators.sampling import split_assign
+
+    return split_assign(
+        load(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    ).select("doc_id", "bucket", "split")
 
 
 @q(
     "docs_stratified_sample",
-    """
+    f"""
     WITH s AS (
-      SELECT doc_id, lang,
-             ((doc_id * 2654435761) % 4294967296) % 1000 AS h
+      SELECT doc_id, lang, {_fib_sql()} AS h
       FROM documents
     )
     SELECT doc_id, lang FROM s
@@ -1244,19 +1252,24 @@ def docs_split_assign(spark, sf_dir):
 )
 def docs_stratified_sample(spark, sf_dir):
     """Stratified corpus sampling — the language-rebalancing pass of a
-    training-data pipeline (downsample the majority language, upsample
-    the rest: en keeps 20%, every other stratum 60%). Membership is a
+    training-data pipeline (downsample the majority language, keep more
+    of the rest: en keeps 20%, every other stratum 60%). Membership is a
     pure function of doc_id (the docs_split_assign Fibonacci hash, mod
     1000, against a per-stratum threshold) — reproducible across runs,
     stable under corpus growth, join-free and shuffle-free: one scan,
     one JVM filter, no sampling state to ship. Never rand()/TABLESAMPLE:
-    both are partition-layout-dependent."""
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
-    rate = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(600))
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang")
-        .where(h < rate)
+    both are partition-layout-dependent. Hash in exact DECIMAL arithmetic
+    (same overflow fix as docs_split_assign, VERDICT r5 #1).
+    Implementation: operators.sampling.stratified_sample, parameterized
+    by a {stratum: keep-fraction} rate map (VERDICT r5 #5)."""
+    from osm_addr_tools_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        strata_col="lang",
+        rates={"en": 0.2},
+        default_rate=0.6,
+        id_col="doc_id",
     )
 
 

@@ -1,0 +1,120 @@
+"""Id-pure split/sample operators (operators/sampling.py) — VERDICT r5 #1
+(int64-overflow fix pinned at and beyond the 3.47e9 boundary against a
+pure-Python reference, under ANSI mode) and #5 (parameterized
+stratified_sample with a multi-stratum rate map)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.operators.sampling import (
+    FIB_MULT,
+    fib_bucket,
+    fib_bucket_sql,
+    split_assign,
+    stratified_sample,
+)
+
+# ids spanning the int64-overflow boundary floor(2^63 / FIB_MULT) =
+# 3 474 701 543 — below, at, just above, way above, and int64 max
+BOUNDARY = 2**63 // FIB_MULT
+EDGE_IDS = [
+    0,
+    1,
+    7,
+    999_983,
+    BOUNDARY - 1,
+    BOUNDARY,
+    BOUNDARY + 1,
+    10**12,           # the design scale
+    10**15 + 37,
+    2**62 - 1,
+    2**63 - 1,        # int64 max
+]
+
+
+def _py_bucket(doc_id: int, mod: int = 1000) -> int:
+    """Pure-Python reference: exact bigint arithmetic."""
+    return (doc_id * FIB_MULT) % (2**32) % mod
+
+
+def test_fib_bucket_matches_python_at_and_beyond_overflow_boundary(spark):
+    df = spark.createDataFrame([(i,) for i in EDGE_IDS], "doc_id long")
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", fib_bucket("doc_id").alias("b")).collect()
+    }
+    assert got == {i: _py_bucket(i) for i in EDGE_IDS}
+
+
+def test_fib_bucket_no_ansi_overflow(spark):
+    """Under ANSI mode (the Spark 4 default posture) the old int64 multiply
+    raised ARITHMETIC_OVERFLOW past the boundary; the decimal form must
+    evaluate cleanly."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame([(2**63 - 1,), (BOUNDARY + 1,)], "doc_id long")
+        rows = df.select(fib_bucket("doc_id").alias("b")).collect()
+        assert [r.b for r in rows] == [_py_bucket(2**63 - 1), _py_bucket(BOUNDARY + 1)]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_fib_bucket_sql_duckdb_parity():
+    """The oracle-side SQL form evaluates identically in DuckDB (decimal
+    promotion, not HUGEINT divergence)."""
+    ids = ", ".join(f"({i})" for i in EDGE_IDS)
+    rows = duckdb.sql(
+        f"SELECT doc_id, {fib_bucket_sql('doc_id')} AS b"
+        f" FROM (VALUES {ids}) t(doc_id)"
+    ).fetchall()
+    assert {r[0]: r[1] for r in rows} == {i: _py_bucket(i) for i in EDGE_IDS}
+
+
+def test_split_assign_boundaries_and_large_ids(spark):
+    df = spark.createDataFrame([(i,) for i in EDGE_IDS], "doc_id long")
+    out = {r.doc_id: (r.bucket, r.split) for r in split_assign(df).collect()}
+    for i in EDGE_IDS:
+        b = _py_bucket(i)
+        want = "train" if b < 980 else ("val" if b < 990 else "test")
+        assert out[i] == (b, want), i
+
+
+def test_split_assign_custom_splits_validated(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="last split bound"):
+        split_assign(df, splits=[("a", 500), ("b", 900)])
+    out = split_assign(
+        df, splits=[("a", 500), ("b", 900), ("c", 1000)]
+    ).collect()[0]
+    b = _py_bucket(1)
+    assert out.split == ("a" if b < 500 else "b" if b < 900 else "c")
+
+
+def test_stratified_sample_multi_stratum_rates(spark):
+    n = 4000
+    rows = [(i, ["en", "de", "fr", "xx"][i % 4]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.1, "de": 0.5, "fr": 1.0}
+    out = stratified_sample(
+        df, "lang", rates, id_col="doc_id", default_rate=0.0
+    ).collect()
+    got = {(r.doc_id, r.lang) for r in out}
+    want = set()
+    for i, lang in rows:
+        rate = rates.get(lang, 0.0)
+        if _py_bucket(i) < int(round(rate * 1000)):
+            want.add((i, lang))
+    assert got == want
+    # rate=1.0 keeps every row of that stratum; default 0.0 drops 'xx'
+    assert {l for _, l in got if l == "xx"} == set()
+    assert sum(1 for _, l in got if l == "fr") == n // 4
+
+
+def test_stratified_sample_rate_validation(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="rate for stratum"):
+        stratified_sample(df, "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, "lang", {"en": 0.5}, default_rate=-0.1)
