@@ -712,19 +712,34 @@ def connected_components(
     start_round = 0
     labels = None
     if checkpoint_dir is not None:
-        # resume: the highest round with a completed manifest append
-        # (scan past max_iter: an earlier run may have resumed before us,
-        # so round numbers can exceed one run's own budget)
-        for rnd in range(max_iter * 4, 0, -1):
-            done = M.completed_parts(
-                spark, f"{ck_root}/round={rnd}", f"cc_round_{rnd}", cfg
+        # resume: the highest round with a completed manifest append.
+        # ONE globbed manifest read across every round directory (VERDICT
+        # r5 #2 — the old form probed round dirs one by one, up to
+        # max_iter*4 sequential read + count jobs of pure startup latency
+        # on exactly the long jobs resume exists for). A manifest row is
+        # appended only after the round's write job succeeds, so any row
+        # for (cc_round_N, cfg) marks round N complete; rounds from
+        # earlier resumed runs may exceed one run's max_iter budget and
+        # the glob sees them all.
+        m = M.read_manifest(spark, f"{ck_root}/round=*")
+        if m is not None:
+            best = (
+                m.where(
+                    (F.col("config_hash") == cfg)
+                    & F.col("stage").startswith("cc_round_")
+                )
+                .agg(
+                    F.max(
+                        F.regexp_extract("stage", r"cc_round_(\d+)", 1).cast("int")
+                    )
+                )
+                .first()[0]
             )
-            if done is not None and done.limit(1).count() > 0:
-                labels = spark.read.parquet(f"{ck_root}/round={rnd}").select(
+            if best is not None and best > 0:
+                labels = spark.read.parquet(f"{ck_root}/round={best}").select(
                     "u", "lbl"
                 )
-                start_round = rnd
-                break
+                start_round = best
     if labels is None:
         labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
     # localCheckpoint, NOT persist: persist truncates EXECUTION but the
@@ -740,41 +755,48 @@ def connected_components(
     if checkpoint_dir is None:
         labels = labels.localCheckpoint()
     # max_iter bounds THIS run's new rounds (a resumed run gets its own
-    # fresh budget on top of the checkpointed progress)
-    for rnd in range(start_round + 1, start_round + max_iter + 1):
-        nbr = (
-            e.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("_nbr"))
-        )
-        new = (
-            labels.join(nbr, "u", "left")
-            .select("u", F.least("lbl", "_nbr").alias("lbl"))
-        )
-        # pointer jump: lbl <- lbl(lbl); labels always contain every lbl
-        # value (labels are vertex ids), so the inner join is total
-        new = (
-            new.join(
-                labels.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")),
-                "lbl",
+    # fresh budget on top of the checkpointed progress). try/finally: the
+    # non-convergence raise (or any mid-round failure) must not pin the
+    # persisted |edges| table for the rest of the session (ADVICE r5 —
+    # same slow-leak class as the r5 release_persisted_fp fix).
+    try:
+        for rnd in range(start_round + 1, start_round + max_iter + 1):
+            nbr = (
+                e.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("_nbr"))
             )
-            .select("u", F.least("lbl", "_lbl2").alias("lbl"))
-        )
-        if checkpoint_dir is not None:
-            new = _ckpt_write(new, rnd)
+            new = (
+                labels.join(nbr, "u", "left")
+                .select("u", F.least("lbl", "_nbr").alias("lbl"))
+            )
+            # pointer jump: lbl <- lbl(lbl); labels always contain every lbl
+            # value (labels are vertex ids), so the inner join is total
+            new = (
+                new.join(
+                    labels.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")),
+                    "lbl",
+                )
+                .select("u", F.least("lbl", "_lbl2").alias("lbl"))
+            )
+            if checkpoint_dir is not None:
+                new = _ckpt_write(new, rnd)
+            else:
+                new = new.localCheckpoint()
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "_old"), "u")
+                .where(F.col("lbl") != F.col("_old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
         else:
-            new = new.localCheckpoint()
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "_old"), "u")
-            .where(F.col("lbl") != F.col("_old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    e.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        e.unpersist()
     # the final label table is already materialized (localCheckpoint /
     # parquet round) — the caller's actions read the checkpointed blocks,
     # never the iterative chain

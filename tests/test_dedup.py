@@ -635,3 +635,21 @@ def test_connected_components_long_chain_no_plan_explosion(spark):
     got = D.connected_components(df, max_iter=25).toPandas()
     assert len(got) == n
     assert (got.component == 0).all()
+
+
+def test_connected_components_unpersists_edges_on_failure(spark):
+    """ADVICE r5: the non-convergence RuntimeError must not leak the
+    persisted edge table — a long job that dies mid-iteration would
+    otherwise pin |edges| storage for the rest of the session."""
+    from osm_addr_tools_spark.operators import dedup as D
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_iter=1)
+    # exactly the two EAGER localCheckpoint label tables remain (initial
+    # labels + round 1 — their blocks ARE the materialized rounds); the
+    # persisted edge table would be a third persistent RDD if leaked
+    assert jsc.getPersistentRDDs().size() == before + 2
