@@ -28,8 +28,8 @@ window pass could silently disagree on bucket assignment, while a pure
 function of the key cannot. Correctness never depends on bucket
 boundaries (any monotone bucketing yields the identical running sum —
 property-tested); skewed keys only IMBALANCE buckets. For heavy skew,
-pass explicit ``boundaries`` (e.g. from ``approxQuantile``) to get
-equi-depth buckets instead.
+pass ``boundaries="auto"`` (one approxQuantile pass → equi-depth
+buckets; see ``auto_boundaries``) or an explicit ascending cut list.
 """
 
 from __future__ import annotations
@@ -61,6 +61,24 @@ def _boundary_bucket(key, boundaries: list):
     return F.size(F.filter(arr, lambda x: x <= key)).cast("int")
 
 
+def auto_boundaries(df: DataFrame, order_col: str, num_buckets: int) -> list:
+    """Equi-depth bucket boundaries for ``running_sum(boundaries="auto")``:
+    the (i/num_buckets)-quantiles of the order key via approxQuantile (one
+    distributed GK-sketch pass; relative error a quarter-bucket, so no
+    bucket can exceed ~1.5× its equi-depth share from sketch error alone).
+    Heavy skew — many rows tying on one key value — collapses adjacent
+    boundaries; ties are indivisible by a monotone bucketing, so that
+    residual imbalance is irreducible, and correctness never depends on
+    balance (any monotone bucketing yields the identical running sum)."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    rel_err = max(1e-4, 0.25 / num_buckets)
+    return (
+        df.select(F.col(order_col).cast("double").alias("_k"))
+        .dropna()
+        .approxQuantile("_k", probs, rel_err)
+    )
+
+
 def running_sum(
     df: DataFrame,
     order_cols,
@@ -76,10 +94,17 @@ def running_sum(
     window (identical output, property-tested).
 
     ``order_cols``: str or list; the FIRST column is the bucketing key
-    and must be numeric (ids, timestamps). Remaining columns only break
-    ties inside the per-bucket window; rows that tie on ALL order columns
-    get an arbitrary-but-valid order among themselves, exactly like the
-    single-window form.
+    and must be numeric (ids, timestamps) and NON-NULL: ``Window.orderBy``
+    sorts nulls globally (NULLS FIRST), which no per-bucket decomposition
+    on a null key can reproduce, so null keys raise ValueError instead of
+    silently dropping rows or misplacing offsets (ADVICE r5). The check is
+    free — null keys surface as a null bucket in the partials pass.
+
+    ``boundaries``: explicit ascending cut points for equi-depth
+    bucketing, or ``"auto"`` to derive them from one approxQuantile pass
+    over the order key (heavily skewed keys starve uniform range buckets;
+    equi-depth keeps every stage balanced — see ``auto_boundaries``).
+    Output is identical under ANY monotone bucketing (property-tested).
 
     The ``df`` subtree is evaluated twice (partials pass + window pass) —
     at scale, read it from columnar storage or persist it upstream; both
@@ -99,6 +124,11 @@ def running_sum(
     integral = isinstance(df.schema[value_col].dataType, _INTEGRAL)
     sum_type = "long" if integral else "double"
 
+    if isinstance(boundaries, str):
+        if boundaries != "auto":
+            raise ValueError(f"boundaries must be a list or 'auto'; got {boundaries!r}")
+        boundaries = auto_boundaries(df, order_cols[0], num_buckets)
+
     if boundaries is not None:
         bucket = _boundary_bucket(key, boundaries)
     else:
@@ -107,11 +137,21 @@ def running_sum(
         # floats pass through); double rounding of an int64 key is
         # monotone non-decreasing, which is all bucketing needs
         kd = key.cast("double")
-        bounds = df.agg(F.min(kd), F.max(kd)).first()
-        if bounds is None or bounds[0] is None:  # empty input: single bucket
+        bounds = df.agg(F.min(kd), F.max(kd), F.count(F.lit(1))).first()
+        if bounds is None or bounds[2] == 0:  # empty input: single bucket
             bucket = F.lit(0).cast("int")
+        elif bounds[0] is None:  # rows exist but every key is null
+            raise ValueError(
+                f"running_sum: order key {order_cols[0]!r} is null on all rows"
+            )
         else:
             bucket = _uniform_bucket(kd, bounds[0], bounds[1], num_buckets)
+
+    # a null order key must yield a NULL bucket (not clamp into the first/
+    # last bucket): F.least/F.greatest skip nulls, and the boundary filter
+    # drops null comparisons, so without the guard null keys silently land
+    # in a valid bucket with wrong offsets
+    bucket = F.when(key.isNotNull(), bucket)
 
     b = df.withColumn("_psb", bucket)
     partials = (
@@ -119,6 +159,12 @@ def running_sum(
         .agg(F.sum(value_col).cast(sum_type).alias("_n"))
         .collect()  # bounded: ≤ num_buckets tiny rows (metadata, not data)
     )
+    if any(r._psb is None for r in partials):
+        raise ValueError(
+            f"running_sum: order key {order_cols[0]!r} contains nulls — "
+            "a global NULLS FIRST order cannot be decomposed per-bucket; "
+            "filter or impute null keys upstream"
+        )
     acc = 0 if integral else 0.0
     offsets = []
     for r in sorted(partials, key=lambda r: r._psb):
