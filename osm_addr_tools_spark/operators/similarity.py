@@ -30,7 +30,14 @@ def _dot(a, b):
 
 
 def cosine_col(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine similarity as a pure Column expression; NULL (never NaN, and
+    never an ANSI DIVIDE_BY_ZERO) when either vector has zero norm —
+    cosine is undefined there, and a null sim falls out of every
+    ``sim >= threshold`` filter deterministically (ADVICE r5: Spark
+    treats NaN as LARGER than any number in comparisons, so a NaN sim
+    would silently PASS a threshold filter)."""
+    denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -177,10 +184,30 @@ def lsh_semantic_pairs(
     embeddings REJOIN by id only for the exact cosine verify, and the
     verify itself is JVM Column math (zip_with/aggregate). ``salt=True``
     routes the bucket join through J3 with (band, bucket) folded into one
-    64-bit key (collisions only ADD candidates, never drop one)."""
+    64-bit key (collisions only ADD candidates, never drop one).
+
+    Zero-norm vectors (ADVICE r5): every all-zero vector gets identical
+    sign bits, so they'd all collide into ONE bucket in EVERY band —
+    O(z²) candidate blowup — and their cosine is undefined (NULL under
+    cosine_col), so they'd then silently fail the threshold and never
+    dedup despite being byte-identical duplicates of one another. They
+    are therefore EXCLUDED from banding and linked exactly instead: a
+    STAR to the minimum zero-norm id (O(z) pairs, sim = 1.0 by the
+    exact-duplicate convention), which connected_components collapses to
+    the same single group an all-pairs clique would."""
     from osm_addr_tools_spark.operators.joins import salted_join
 
-    ids = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    allv = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    nz = _dot(F.col("_v"), F.col("_v")) > 0
+    ids = allv.where(nz)
+    zeros = allv.where(~nz).select("_id")
+    zmin = zeros.agg(F.min("_id").alias("a"))
+    zero_pairs = (
+        zeros.select(F.col("_id").alias("b"))
+        .crossJoin(F.broadcast(zmin))  # 1-row build side, lazy (no collect)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("sim"))
+    )
     bu = hyperplane_bands_udf(dim, n_planes, bands, seed)
     keyed = ids.select(
         "_id", F.posexplode(bu(F.col("_v"))).alias("_band", "_bucket")
@@ -200,13 +227,14 @@ def lsh_semantic_pairs(
     )
     va = ids.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
     vb = ids.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
-    return (
+    verified = (
         pairs.join(va.hint("shuffle_hash"), "a")
         .join(vb.hint("shuffle_hash"), "b")
         .withColumn("sim", cosine_col(F.col("_va"), F.col("_vb")))
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+    return verified.unionByName(zero_pairs)
 
 
 def kmeans_centroids(vectors: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42):

@@ -18,6 +18,7 @@ Both return the same fixed StructType; no schema inference anywhere
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osm_addr_tools_spark.sources.synth import PAGES_DDL
 
@@ -76,8 +77,22 @@ def write_bucketed(
     ``sortBy(key)`` additionally pre-sorts within buckets so sort-merge
     joins skip their sort stage. Uses the session catalog
     (saveAsTable — in-memory catalog works; production would point the
-    same call at an Iceberg/HMS catalog, the S1 ``table:`` binding)."""
-    w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    same call at an Iceberg/HMS catalog, the S1 ``table:`` binding).
+
+    The input is repartitioned on ``key`` to ``buckets`` partitions
+    first (ADVICE r5): bucketBy alone makes EVERY upstream task write
+    one file per bucket it sees — tasks × buckets files at scale — and
+    the sortBy guarantee then holds only per FILE, so readers re-sort
+    multi-file buckets anyway. One hash repartition on the same key
+    gives task i exactly bucket i's rows: one sorted file per bucket,
+    and the shuffle is the same exchange any later key-join would have
+    paid once anyway."""
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, key)
+    )
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)

@@ -51,3 +51,34 @@ def test_bucketed_join_equals_plain_join(spark, bucketed_tables):
         map(tuple, spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_bucketed_one_sorted_file_per_bucket(spark, bucketed_tables):
+    """ADVICE r5: without a pre-repartition on the key, every upstream
+    task writes one file per bucket it sees (tasks x buckets files), and
+    sortBy holds only per FILE. With the repartition, each bucket is
+    exactly one file and that file is globally sorted on the key."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED t_bucket_a")
+        .where(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    path = loc.replace("file:", "")
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    buckets = {}
+    for f in files:
+        m = re.search(r"_(\d{5})(?:_\d+)?\.c", f) or re.search(r"_(\d{5})\.", f)
+        assert m, f
+        buckets.setdefault(int(m.group(1)), []).append(f)
+    # one file per non-empty bucket
+    assert all(len(v) == 1 for v in buckets.values()), buckets
+    assert len(buckets) == 8
+    # and each file is sorted on the key
+    for b, (f,) in buckets.items():
+        ks = pq.read_table(os.path.join(path, f), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f

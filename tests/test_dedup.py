@@ -653,3 +653,42 @@ def test_connected_components_unpersists_edges_on_failure(spark):
     # labels + round 1 — their blocks ARE the materialized rounds); the
     # persisted edge table would be a third persistent RDD if leaked
     assert jsc.getPersistentRDDs().size() == before + 2
+
+
+def test_lsh_semantic_pairs_zero_vectors_grouped_not_blown_up(spark):
+    """ADVICE r5: zero-norm vectors share every bucket in every band
+    (identical sign bits) and have undefined cosine — they must be
+    excluded from banding and linked exactly as a star to the min zero
+    id (O(z) pairs, sim=1.0), so CC still collapses them into one
+    exact-duplicate group and no NaN/null sim ever leaks out."""
+    from osm_addr_tools_spark.operators.similarity import lsh_semantic_pairs
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    zeros = spark.createDataFrame(
+        [(90_001 + i,) for i in range(5)], "vec_id long"
+    ).select(
+        "vec_id",
+        F.array_repeat(F.lit(0.0), 64).alias("embedding"),
+    )
+    corpus = base.unionByName(zeros)
+    got = lsh_semantic_pairs(corpus, threshold=0.9, dim=64).toPandas()
+    assert not got.sim.isna().any()
+    zpairs = got[(got.a >= 90_000) | (got.b >= 90_000)]
+    # star to the min zero id: exactly z-1 pairs, all anchored at 90001
+    assert sorted(map(tuple, zpairs[["a", "b"]].values.tolist())) == [
+        (90_001, 90_001 + i) for i in range(1, 5)
+    ]
+    assert (zpairs.sim == 1.0).all()
+    # CC over the emitted pairs puts all five zero vectors in ONE group
+    comp = {
+        r.v: r.component
+        for r in D.connected_components(
+            spark.createDataFrame(got[["a", "b"]]), "a", "b"
+        ).collect()
+        if r.v >= 90_000
+    }
+    assert set(comp.keys()) == {90_001 + i for i in range(5)}
+    assert len(set(comp.values())) == 1
