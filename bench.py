@@ -248,6 +248,18 @@ def main() -> int:
     # (tools/bench_scaling.py pins this to 1: its OUTER best-of-N across
     # fresh JVMs is the noise filter there.)
     repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    # VERDICT r5 #6: two consecutive driver records drifted the headline
+    # +13% the same direction inside the documented jitter band — band-
+    # reading is not a trend signal. The HEADLINE query runs best-of-≥4
+    # (the other queries stay at the default budget); explicitly pinned
+    # SPARK_GRAFT_QUERY_REPEATS (tools/bench_scaling.py sets 1 — its
+    # outer best-of-N across fresh JVMs is the noise filter there) wins.
+    headline_repeats = int(
+        os.environ.get(
+            "SPARK_GRAFT_HEADLINE_REPEATS",
+            str(repeats if "SPARK_GRAFT_QUERY_REPEATS" in os.environ else max(repeats, 4)),
+        )
+    )
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
     algo_timings: dict[str, float] = {}
@@ -265,7 +277,7 @@ def main() -> int:
         # comparable round-1 definition).
         samples[name] = []
         df = None
-        for _ in range(repeats):
+        for _ in range(headline_repeats if name == "conflate_join" else repeats):
             t0 = time.perf_counter()
             df = make()
             t1 = time.perf_counter()
@@ -305,6 +317,7 @@ def main() -> int:
         "queries_exec": exec_timings,
         "queries_algo": algo_timings,
         "repeats": repeats,
+        "headline_repeats": headline_repeats,
         "sf": sf,
         "n_pages": n_pages,
         "match_rows": match_rows,
