@@ -353,32 +353,61 @@ def pip_join(
 # ---------------------------------------------------------------------------
 
 
-def polygons_intersect_udf():
+def polygons_intersect_udf(touch: str = "fast"):
     """(edges_a, edges_b) → bool: do two polygons (with holes, even-odd)
-    share interior? True iff (1) any edge pair PROPERLY crosses, or
-    (2) a vertex of one lies strictly inside the other (even-odd over all
-    rings). Strict-interior semantics: boundary-touching polygons (shared
-    edge or corner, no shared interior) do NOT pair — mirroring the
-    oracle's strict interval inequalities.
+    share interior? Strict-interior semantics: boundary-touching polygons
+    (shared edge or corner, no shared interior) do NOT pair — mirroring
+    the oracle's strict interval inequalities.
 
-    Batch shape: per candidate pair, the edge sets broadcast to an (m × k)
-    orientation grid — all-numpy inner math, bounded by polygon vertex
-    counts (≤ ~240 in the stress fixtures), so the per-pair Python
+    ``touch="fast"`` (default): True iff (1) any edge pair PROPERLY
+    crosses, or (2) the FIRST vertex of one lies strictly inside the
+    other. Batch shape: per candidate pair, the edge sets broadcast to an
+    (m × k) orientation grid — all-numpy inner math, bounded by polygon
+    vertex counts (≤ ~240 in the stress fixtures), so the per-pair Python
     overhead is constant like the F3 similarity refine.
 
-    PRECONDITION — general position (ADVICE r4): containment is probed at
-    only the FIRST vertex of each polygon, and boundary-degenerate pairs
-    (collinear overlapping edges, a vertex lying exactly on the other
-    polygon's edge, two axis-aligned rectangles sharing an exact extent)
-    have no PROPER crossing, so the decision falls to a ray cast through
-    a boundary point — ordering-dependent, can classify either way. Such
-    configurations are measure-zero for float inputs and are scoped out
-    of the convex-clip property suite; callers with adversarially exact
-    coordinates (integer grids, shared borders) should perturb inputs or
-    pre-filter exact-touch pairs. Full collinear/on-segment tie-breaking
-    is deliberately NOT implemented: strict-interior semantics on exact
-    touches is a policy choice the oracle fixtures don't exercise.
+    PRECONDITION of the fast mode — general position (ADVICE r4):
+    boundary-degenerate pairs (collinear overlapping edges, a vertex
+    lying exactly on the other polygon's edge, two axis-aligned
+    rectangles sharing an exact extent) have no PROPER crossing, so the
+    decision falls to a ray cast through a boundary point —
+    ordering-dependent, can classify either way. Such configurations are
+    measure-zero for float inputs and are scoped out of the convex-clip
+    property suite.
+
+    ``touch="strict"`` (VERDICT r5 #7): deterministic strict-interior
+    semantics on exact-touch configurations too. Pairs decided by a
+    proper crossing or by a reliably-off-boundary vertex probe take the
+    same vectorized path as fast mode; only pairs exhibiting an exact
+    boundary degeneracy (some orientation in the grid is exactly 0 with
+    overlapping extents) enter the tie-break, which is COMPLETE for
+    bit-exactly-representable degeneracies:
+
+    * split every edge of one polygon at all its intersections with the
+      other's boundary (point touches and collinear-overlap interval
+      endpoints included) — each resulting open sub-segment lies entirely
+      inside, outside, or on the other boundary, so its midpoint decides
+      membership; any sub-segment midpoint strictly interior ⇒ shared
+      interior (and symmetrically);
+    * if neither boundary enters the other's interior, the interiors are
+      nested-or-disjoint: probe a constructed strictly-interior point of
+      each polygon (lowest scanline interval through an x strictly
+      between two distinct vertex x's — never through a vertex) against
+      the other. Handles identical polygons / shared-extent rectangles.
+
+    Exactness caveat: orientation signs are float; degeneracies are
+    detected when the cross product is EXACTLY zero (true for integer or
+    dyadic coordinates of modest magnitude — the adversarial inputs this
+    mode exists for). Near-degenerate coordinates within float rounding
+    remain undefined in either mode, as with any non-exact-arithmetic
+    kernel. Fixtures pin the policy: tests/test_polygon_touch.py
+    (shared edge → False, shared corner → False, identical → True,
+    T-touch → False, contained-sharing-an-edge → True, partial edge
+    overlap with interior overlap → True).
     """
+    if touch not in ("fast", "strict"):
+        raise ValueError(f"touch must be 'fast' or 'strict'; got {touch!r}")
+    strict = touch == "strict"
 
     def _cross(ox, oy, ax, ay, bx, by):
         return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
@@ -392,6 +421,86 @@ def polygons_intersect_udf():
             xint = xa + (py - ya) * (xb - xa) / (yb - ya)
         return bool((crosses & (px < xint)).sum() & 1)
 
+    def _on_boundary(px, py, e):
+        xa, ya, xb, yb = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        cr = (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
+        inbox = (
+            (np.minimum(xa, xb) <= px)
+            & (px <= np.maximum(xa, xb))
+            & (np.minimum(ya, yb) <= py)
+            & (py <= np.maximum(ya, yb))
+        )
+        return bool(((cr == 0) & inbox).any())
+
+    def _strictly_in(px, py, e):
+        """True iff strictly interior; False if outside OR on boundary."""
+        return (not _on_boundary(px, py, e)) and _point_in(px, py, e)
+
+    def _interior_point(e):
+        """A point strictly inside the polygon (holes respected): lowest
+        even-odd scanline interval through an x strictly between two
+        distinct vertex x's — the line passes through no vertex, so every
+        crossing is transversal."""
+        xs = np.unique(np.concatenate([e[:, 0], e[:, 2]]))
+        xa, ya, xb, yb = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        for i in range(len(xs) - 1):
+            x = (xs[i] + xs[i + 1]) / 2.0
+            hit = (xa < x) != (xb < x)
+            if hit.sum() < 2:
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ys = ya[hit] + (x - xa[hit]) * (yb[hit] - ya[hit]) / (xb[hit] - xa[hit])
+            ys = np.sort(ys)
+            return x, (ys[0] + ys[1]) / 2.0
+        return None
+
+    def _boundary_probe(src, other):
+        """Does ∂src enter the strict interior of ``other``? Split each
+        src edge at every intersection with ∂other; probe sub-segment
+        midpoints. Python loop over src edges (slow path only), numpy
+        over other's edges inside."""
+        oxa, oya, oxb, oyb = other[:, 0], other[:, 1], other[:, 2], other[:, 3]
+        for px, py, qx, qy in src:
+            dex, dey = qx - px, qy - py
+            if dex == 0 and dey == 0:
+                continue
+            dfx, dfy = oxb - oxa, oyb - oya
+            denom = dex * dfy - dey * dfx
+            apx, apy = oxa - px, oya - py
+            ts = [0.0, 1.0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (apx * dfy - apy * dfx) / denom
+                u = (apx * dey - apy * dex) / denom
+                cross_hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            ts.extend(t[cross_hit].tolist())
+            # collinear overlaps: project the other edge's endpoints onto e
+            col = (denom == 0) & (apx * dey - apy * dex == 0)
+            if col.any():
+                ee = dex * dex + dey * dey
+                ta = ((oxa[col] - px) * dex + (oya[col] - py) * dey) / ee
+                tb = ((oxb[col] - px) * dex + (oyb[col] - py) * dey) / ee
+                for v in np.concatenate([ta, tb]).tolist():
+                    if 0.0 < v < 1.0:
+                        ts.append(v)
+            ts = sorted(set(ts))
+            for t0, t1 in zip(ts, ts[1:]):
+                tm = (t0 + t1) / 2.0
+                if _strictly_in(px + tm * dex, py + tm * dey, other):
+                    return True
+        return False
+
+    def _strict_decide(A, B):
+        """Tie-break for pairs with an exact boundary degeneracy and no
+        proper crossing: complete strict-interior decision (see docstring)."""
+        if _boundary_probe(A, B) or _boundary_probe(B, A):
+            return True
+        # neither boundary enters the other's interior ⇒ nested or disjoint
+        for src, other in ((A, B), (B, A)):
+            ip = _interior_point(src)
+            if ip is not None and _strictly_in(ip[0], ip[1], other):
+                return True
+        return False
+
     @pandas_udf("boolean")
     def isect(ea: pd.Series, eb: pd.Series) -> pd.Series:
         out = np.zeros(len(ea), dtype=bool)
@@ -400,10 +509,6 @@ def polygons_intersect_udf():
                 continue
             A = np.asarray(a, dtype=np.float64).reshape(-1, 4)
             B = np.asarray(b, dtype=np.float64).reshape(-1, 4)
-            # (2) vertex containment, cheap: first vertex each way
-            if _point_in(A[0, 0], A[0, 1], B) or _point_in(B[0, 0], B[0, 1], A):
-                out[i] = True
-                continue
             # (1) proper crossing on the (m × k) orientation grid
             p1x, p1y, p2x, p2y = (A[:, j, None] for j in range(4))
             q1x, q1y, q2x, q2y = (B[None, :, j] for j in range(4))
@@ -411,8 +516,45 @@ def polygons_intersect_udf():
             d2 = _cross(q1x, q1y, q2x, q2y, p2x, p2y)
             d3 = _cross(p1x, p1y, p2x, p2y, q1x, q1y)
             d4 = _cross(p1x, p1y, p2x, p2y, q2x, q2y)
-            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-            out[i] = bool(proper.any())
+            # STRICT straddling: a zero orientation (endpoint exactly on
+            # the other segment's line) is a touch, not a proper crossing
+            # — `(d1>0)!=(d2>0)` would lump 0 with negative and call an
+            # endpoint-on-segment contact "proper"
+            proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+                ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+            )
+            if proper.any():
+                out[i] = True
+                continue
+            if not strict:
+                # (2) vertex containment, cheap: first vertex each way
+                out[i] = _point_in(A[0, 0], A[0, 1], B) or _point_in(
+                    B[0, 0], B[0, 1], A
+                )
+                continue
+            # strict mode: reliable vertex probe (off-boundary only)
+            pa = (A[0, 0], A[0, 1])
+            pb = (B[0, 0], B[0, 1])
+            a_on, b_on = _on_boundary(*pa, B), _on_boundary(*pb, A)
+            if (not a_on and _point_in(*pa, B)) or (
+                not b_on and _point_in(*pb, A)
+            ):
+                out[i] = True
+                continue
+            # exact degeneracy anywhere? (zero orientation AND the edge
+            # bboxes overlap — a zero orientation against a faraway
+            # collinear line is not a contact) — only then pay the
+            # tie-break
+            zero = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+            boxes = (
+                (np.minimum(p1x, p2x) <= np.maximum(q1x, q2x))
+                & (np.minimum(q1x, q2x) <= np.maximum(p1x, p2x))
+                & (np.minimum(p1y, p2y) <= np.maximum(q1y, q2y))
+                & (np.minimum(q1y, q2y) <= np.maximum(p1y, p2y))
+            )
+            if a_on or b_on or (zero & boxes).any():
+                out[i] = _strict_decide(A, B)
+            # else: no crossing, no contact, probes outside ⇒ disjoint
         return pd.Series(out)
 
     return isect
@@ -427,10 +569,14 @@ def polygon_join(
     left_rings: str = "rings",
     right_rings: str = "rings",
     salt: bool = False,
+    touch: str = "fast",
     **salt_kw,
 ) -> DataFrame:
     """Polygon-polygon intersection join (J9): (left_id, right_id) for
-    every pair whose polygons share interior.
+    every pair whose polygons share interior. ``touch="strict"`` enables
+    the deterministic exact-touch tie-break in the refine kernel (see
+    polygons_intersect_udf) for inputs with adversarially exact
+    coordinates — integer grids, shared parcel borders.
 
     Candidates: BOTH sides' C4 cover cells at ``level`` equi-joined — a
     shared interior region touches ≥1 cell, and the cover contains every
@@ -457,7 +603,7 @@ def polygon_join(
     refined = (
         pairs.join(ledges.hint("shuffle_hash"), "_lid")
         .join(redges.hint("shuffle_hash"), "_rid")
-        .where(polygons_intersect_udf()(F.col("_le"), F.col("_re")))
+        .where(polygons_intersect_udf(touch)(F.col("_le"), F.col("_re")))
     )
     return refined.select(
         F.col("_lid").alias(left_id), F.col("_rid").alias(right_id)
