@@ -801,3 +801,67 @@ def connected_components(
     # parquet round) — the caller's actions read the checkpointed blocks,
     # never the iterative chain
     return labels.select(F.col("u").alias("v"), F.col("lbl").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: delete every LINE that
+    occurs (exactly, byte-equal) in ≥ ``min_docs`` distinct documents —
+    cookie banners, nav menus, subscribe prompts — and reassemble each
+    document's remaining lines in their original order. The intra-page
+    counterpart of the whole/near-doc dedup families above: boilerplate
+    survives document-level dedup because the documents differ, yet still
+    floods a training corpus with millions of identical lines.
+
+    Returns one row per input document: (id_col, out_col); a document
+    whose every line is boilerplate keeps an EMPTY string (the row is
+    never dropped — downstream length/quality filters decide its fate).
+
+    Scale shape (one corpus-sized shuffle + per-doc regroup, no windows):
+    posexplode(split) → distinct (line, doc) — map-side partial dedup —
+    → per-line distinct-doc count (hash agg) → hot-line table (tiny: the
+    lines ABOVE the threshold) anti-joined back on the raw line value
+    (AQE decides broadcast vs shuffle — the hot-line table grows with
+    the corpus, so never force-broadcast; a mega-hot line's fan-in on
+    the anti-join shuffle is AQE skew-split territory) → groupBy doc,
+    sort collected (pos, line) structs, rejoin to the input id set so
+    all-boilerplate docs survive as empty. Joining on the raw line (not
+    a 64-bit line hash) is deliberate: a hash collision would silently
+    delete an innocent line; exactness is worth the wider shuffle key.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    hot = freq.where(F.col("_nd") >= min_docs).select("line")
+    kept = lines.join(hot, "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

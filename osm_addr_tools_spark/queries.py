@@ -1438,6 +1438,70 @@ def docs_pii_scan(spark, sf_dir):
     )
 
 
+_BOILER1 = "Accept all cookies to continue reading this site"
+_BOILER2 = "Subscribe to our newsletter for weekly updates"
+_RARELINE = "limited-edition footer only two pages share"
+
+
+@q(
+    "docs_boilerplate_removal",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || '{_BOILER1}' || chr(10) || 'sig-' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 2 THEN chr(10) || '{_BOILER2}' ELSE '' END
+        || CASE WHEN doc_id % 250 = 1 THEN chr(10) || '{_RARELINE}' ELSE '' END
+        AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS ord, unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
+    ),
+    freq AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+    kept AS (SELECT doc_id, ord, line FROM lines JOIN freq USING (line) WHERE nd < 3)
+    SELECT c.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM corpus c LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text
+      FROM kept GROUP BY doc_id
+    ) r USING (doc_id)
+    """,
+)
+def docs_boilerplate_removal(spark, sf_dir):
+    """C4-style corpus-level boilerplate LINE removal (r6; the intra-page
+    dedup pass): delete every line occurring byte-equal in ≥3 distinct
+    docs, reassemble the rest in original order. Planted corpus: a
+    cookie-banner line on 1/5 of docs FOLLOWED by a unique per-doc
+    signature line (removal must excise the middle line and keep order),
+    a second banner on 1/7, and a line shared by exactly TWO docs that
+    must SURVIVE the threshold. Implementation:
+    operators.dedup.remove_boilerplate_lines (posexplode → distinct
+    (line,doc) → per-line doc count → AQE-decided anti-join on the raw
+    line → per-doc ordered reassembly; all-boilerplate docs come back as
+    empty strings, never dropped)."""
+    from osm_addr_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\n" + _BOILER1 + "\nsig-"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("\n" + _BOILER2)).otherwise(""),
+        F.when(F.col("doc_id") % 250 == 1, F.lit("\n" + _RARELINE)).otherwise(""),
+    )
+    corpus = d.select("doc_id", t.alias("text"))
+    return remove_boilerplate_lines(corpus, min_docs=3)
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 
@@ -2294,6 +2358,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # families that keep another hash-green row — never a family's only gate.
 _REGISTRY_TAIL = [
     # ordered most-valuable-first: a cap drops from the very END
+    "docs_winnow_fingerprints",    # intermediate gate; docs_winnow_partial_dups runs the full path
     "events_running_cents",        # W3 frames keep quartiles + sessionization sums
     "customers_without_orders",    # J6 keeps both dedup retention anti-joins
     "events_lag_delta",            # W2 keeps events_change_ledger (+ stream parity)

@@ -692,3 +692,31 @@ def test_lsh_semantic_pairs_zero_vectors_grouped_not_blown_up(spark):
     }
     assert set(comp.keys()) == {90_001 + i for i in range(5)}
     assert len(set(comp.values())) == 1
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Order preserved after excising middle lines; threshold is >=
+    min_docs DISTINCT docs (a repeated line inside ONE doc doesn't count
+    twice); all-boilerplate docs come back as empty strings, never
+    dropped."""
+    rows = [
+        (1, "u1\nBANNER\nu2"),          # BANNER in 3 docs -> removed
+        (2, "BANNER\nu3"),
+        (3, "u4\nBANNER"),
+        (4, "twice\ntwice\nu5"),         # 'twice' 2x in one doc = 1 doc
+        (5, "twice\nu6"),                # 'twice' in 2 docs < 3 -> kept
+        (6, "BANNER"),                   # all boilerplate -> ""
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in D.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: "u1\nu2",
+        2: "u3",
+        3: "u4",
+        4: "twice\ntwice\nu5",
+        5: "twice\nu6",
+        6: "",
+    }
