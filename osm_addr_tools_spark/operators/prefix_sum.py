@@ -79,6 +79,42 @@ def auto_boundaries(df: DataFrame, order_col: str, num_buckets: int) -> list:
     )
 
 
+def _resolve_bucket(df: DataFrame, order_col: str, num_buckets: int, boundaries):
+    """Monotone bucket-id Column for ``order_col`` (shared by running_sum
+    and grouped_row_number). ``boundaries``: None → uniform range buckets
+    over one min/max aggregate; ``"auto"`` → equi-depth via
+    ``auto_boundaries``; a list → explicit ascending cuts. Null keys yield
+    a NULL bucket (never clamp into a valid one): F.least/F.greatest skip
+    nulls and the boundary filter drops null comparisons, so without the
+    final guard null keys would silently land in a bucket with wrong
+    offsets — the partials pass raises on them instead."""
+    key = F.col(order_col)
+    if isinstance(boundaries, str):
+        if boundaries != "auto":
+            raise ValueError(f"boundaries must be a list or 'auto'; got {boundaries!r}")
+        boundaries = auto_boundaries(df, order_col, num_buckets)
+
+    if boundaries is not None:
+        bucket = _boundary_bucket(key, boundaries)
+    else:
+        # min/max over the DOUBLE view of the key: keeps the driver-side
+        # arithmetic type-free (timestamps become epoch seconds, ints/
+        # floats pass through); double rounding of an int64 key is
+        # monotone non-decreasing, which is all bucketing needs
+        kd = key.cast("double")
+        bounds = df.agg(F.min(kd), F.max(kd), F.count(F.lit(1))).first()
+        if bounds is None or bounds[2] == 0:  # empty input: single bucket
+            bucket = F.lit(0).cast("int")
+        elif bounds[0] is None:  # rows exist but every key is null
+            raise ValueError(
+                f"prefix_sum: order key {order_col!r} is null on all rows"
+            )
+        else:
+            bucket = _uniform_bucket(kd, bounds[0], bounds[1], num_buckets)
+
+    return F.when(key.isNotNull(), bucket)
+
+
 def running_sum(
     df: DataFrame,
     order_cols,
@@ -124,34 +160,7 @@ def running_sum(
     integral = isinstance(df.schema[value_col].dataType, _INTEGRAL)
     sum_type = "long" if integral else "double"
 
-    if isinstance(boundaries, str):
-        if boundaries != "auto":
-            raise ValueError(f"boundaries must be a list or 'auto'; got {boundaries!r}")
-        boundaries = auto_boundaries(df, order_cols[0], num_buckets)
-
-    if boundaries is not None:
-        bucket = _boundary_bucket(key, boundaries)
-    else:
-        # min/max over the DOUBLE view of the key: keeps the driver-side
-        # arithmetic type-free (timestamps become epoch seconds, ints/
-        # floats pass through); double rounding of an int64 key is
-        # monotone non-decreasing, which is all bucketing needs
-        kd = key.cast("double")
-        bounds = df.agg(F.min(kd), F.max(kd), F.count(F.lit(1))).first()
-        if bounds is None or bounds[2] == 0:  # empty input: single bucket
-            bucket = F.lit(0).cast("int")
-        elif bounds[0] is None:  # rows exist but every key is null
-            raise ValueError(
-                f"running_sum: order key {order_cols[0]!r} is null on all rows"
-            )
-        else:
-            bucket = _uniform_bucket(kd, bounds[0], bounds[1], num_buckets)
-
-    # a null order key must yield a NULL bucket (not clamp into the first/
-    # last bucket): F.least/F.greatest skip nulls, and the boundary filter
-    # drops null comparisons, so without the guard null keys silently land
-    # in a valid bucket with wrong offsets
-    bucket = F.when(key.isNotNull(), bucket)
+    bucket = _resolve_bucket(df, order_cols[0], num_buckets, boundaries)
 
     b = df.withColumn("_psb", bucket)
     partials = (
@@ -202,3 +211,91 @@ def global_row_number(
         df.withColumn(one, F.lit(1).cast("long")), order_cols, one,
         out_col=out_col, **kwargs,
     ).drop(one)
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols,
+    out_col: str = "row_num",
+    num_buckets: int | None = None,
+    boundaries: list | None = None,
+    max_groups: int = 256,
+) -> DataFrame:
+    """1-based row number WITHIN each ``group_col`` value, rows ordered by
+    ``order_cols`` — the distributed replacement for
+    ``F.row_number().over(Window.partitionBy(group).orderBy(...))`` when
+    groups are FEW but HUGE (length buckets, train/val splits, languages):
+    the plain window shuffles each entire group through ONE task, so a
+    12-bucket corpus runs on 12 tasks no matter how many executors exist.
+
+    Same two-pass shape as ``running_sum``, with the partials keyed on
+    (bucket, group): monotone bucket on the order key → one hash aggregate
+    of per-(bucket, group) counts → bounded collect (≤ num_buckets ×
+    |groups| tiny rows — metadata, not data) → driver prefix-sums each
+    group's counts across buckets → broadcast offsets → row_number per
+    (bucket, group) window partition + the group's offset. Every stage
+    runs at full parallelism; window partitions are bucket-bounded.
+
+    Contract: ``group_col`` must be LOW-cardinality — more than
+    ``max_groups`` distinct values raises (the bounded-collect contract;
+    for high-cardinality groups the plain per-group window is already
+    parallel and should be used instead). Order-key contract as
+    ``running_sum``: first order column numeric/timestamp, non-null
+    (raises); null GROUP values raise too — a null group is partition-key
+    semantics (NULLS grouped together) that the caller should make
+    explicit upstream."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    spark = df.sparkSession
+    if num_buckets is None:
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            parts = 200
+        num_buckets = max(64, min(4096, parts * 4))
+
+    bucket = _resolve_bucket(df, order_cols[0], num_buckets, boundaries)
+    b = df.withColumn("_psb", bucket)
+    partials = (
+        b.groupBy("_psb", group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # bounded: ≤ num_buckets × max_groups tiny rows
+    )
+    if any(r._psb is None for r in partials):
+        raise ValueError(
+            f"grouped_row_number: order key {order_cols[0]!r} contains nulls — "
+            "a global NULLS FIRST order cannot be decomposed per-bucket; "
+            "filter or impute null keys upstream"
+        )
+    if any(r[group_col] is None for r in partials):
+        raise ValueError(
+            f"grouped_row_number: group column {group_col!r} contains nulls — "
+            "make null-group semantics explicit upstream (filter or impute)"
+        )
+    groups = {r[group_col] for r in partials}
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"grouped_row_number: {len(groups)} distinct groups exceeds "
+            f"max_groups={max_groups} — the per-(bucket, group) partials "
+            "collect is only bounded for low-cardinality groups; use a "
+            "plain per-group window for high-cardinality groups"
+        )
+    if not partials:
+        return df.withColumn(out_col, F.lit(1).cast("long"))
+    acc: dict = {g: 0 for g in groups}
+    offsets = []
+    for r in sorted(partials, key=lambda r: r._psb):
+        g = r[group_col]
+        offsets.append((r._psb, g, acc[g]))
+        acc[g] += r._n
+    gtype = df.schema[group_col].dataType.simpleString()
+    off = spark.createDataFrame(
+        offsets, f"_psb int, {group_col} {gtype}, _psoff long"
+    )
+    w = Window.partitionBy("_psb", group_col).orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(off), ["_psb", group_col])
+        .withColumn(out_col, (F.col("_psoff") + F.row_number().over(w)).cast("long"))
+        .drop("_psb", "_psoff")
+    )

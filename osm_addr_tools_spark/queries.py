@@ -1502,6 +1502,256 @@ def docs_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(corpus, min_docs=3)
 
 
+@q(
+    "docs_pack_assign",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 8000000, repeat(text || ' ', 4) FROM documents WHERE doc_id % 13 = 5
+        UNION ALL
+        SELECT doc_id + 9000000, substr(text, 1, 20) FROM documents WHERE doc_id % 17 = 3
+      )
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(CASE WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
+                       WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                       ELSE 128 END AS BIGINT) AS bucket_cap,
+             n_tok > 128 AS truncated
+      FROM t
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_cap ORDER BY doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tok, bucket_cap, truncated,
+           CAST((rn - 1) // (128 // bucket_cap) AS BIGINT) AS pack_id,
+           CAST((rn - 1) % (128 // bucket_cap) AS BIGINT) AS slot
+    FROM r
+    """,
+)
+def docs_pack_assign(spark, sf_dir):
+    """Length-bucketed sequence packing — every doc gets a deterministic
+    (bucket_cap, pack_id, slot) training position with pack token sums ≤
+    capacity=128 by construction (docs longer than capacity are flagged
+    truncated). The per-bucket rank comes from
+    operators.prefix_sum.grouped_row_number, NOT
+    row_number().over(Window.partitionBy(bucket_cap)) — with ~5 length
+    buckets the plain window would run the whole corpus on 5 tasks
+    (the same single-task WindowExec hazard VERDICT r4 #1 closed for
+    the global case). Planted corpus: 4× repeats on 1/13 of docs
+    exercise the truncation path, 20-char stubs on 1/17 the smallest
+    bucket. Implementation: operators.packing.pack_by_length_bucket."""
+    from osm_addr_tools_spark.operators.packing import pack_by_length_bucket
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    long_docs = d.where(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"),
+        F.repeat(F.concat(F.col("text"), F.lit(" ")), 4).alias("text"),
+    )
+    short_docs = d.where(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 20).alias("text"),
+    )
+    corpus = d.unionByName(long_docs).unionByName(short_docs)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return pack_by_length_bucket(
+        corpus.select("doc_id", n_tok.alias("n_tok")),
+        id_col="doc_id",
+        n_tok_col="n_tok",
+        capacity=128,
+        min_bucket=8,
+    )
+
+
+_CONTAM_SNIPPET = (
+    " which of the following statements about data systems is most accurate"
+)
+
+
+@q(
+    "docs_decontaminate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 97 = 0 OR doc_id % 19 = 7
+                          THEN '{_CONTAM_SNIPPET}' ELSE '' END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM corpus
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM tok WHERE doc_id % 97 <> 0 AND len(t) >= 5
+      )
+    ),
+    bg AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM tok WHERE doc_id % 97 = 0 AND len(t) >= 5
+      )
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM tg JOIN bg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C scheme): a training doc is
+    contaminated if it shares any token 5-gram with the benchmark set;
+    n_hit = distinct contaminated grams (the audit-ranking signal). The
+    benchmark here is the held-out 1/97 slice of the corpus (doc_id % 97
+    == 0) — deterministic, no external data — and the output is the
+    contamination worklist (only hit docs appear), same contract as the
+    PII scan. A planted benchmark sentence — appended to every benchmark
+    doc AND quoted by 1/19 of training docs — makes the gate non-vacuous
+    (natural word-soup 5-gram collisions are rare by design of n). Scale
+    shape: codegen n-gramming, per-side DISTINCT before an AQE-decided
+    equi-join on the gram, map-side-combined count —
+    operators.decontam.ngram_overlap documents the xxhash64-key variant
+    for 100 TB shuffles."""
+    from osm_addr_tools_spark.operators.decontam import ngram_overlap
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    quoted = (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 19 == 7)
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(quoted, F.lit(_CONTAM_SNIPPET)).otherwise(""),
+        ).alias("text"),
+    )
+    return ngram_overlap(
+        corpus.where(F.col("doc_id") % 97 != 0),
+        corpus.where(F.col("doc_id") % 97 == 0),
+        n=5,
+    )
+
+
+_REP_DUP = "call now to claim your prize"
+_REP_BULLET1 = "- sponsored list item"
+_REP_ELLIPSIS = "story continues after these messages..."
+_REP_BULLET2 = "* click to expand"
+
+
+@q(
+    "docs_repetition_filter",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || '{_REP_DUP}' || chr(10) || '{_REP_DUP}' ELSE '' END
+        || CASE WHEN doc_id % 5 = 1 THEN chr(10) || '{_REP_BULLET1}' ELSE '' END
+        || CASE WHEN doc_id % 6 = 2 THEN chr(10) || '{_REP_ELLIPSIS}' ELSE '' END
+        || CASE WHEN doc_id % 9 = 3 THEN chr(10) || '{_REP_BULLET2}' ELSE '' END
+        AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus
+    ),
+    lc AS (
+      SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(len(line) AS BIGINT) AS chars
+      FROM lines GROUP BY doc_id, line
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(cnt * chars) AS BIGINT) AS n_chars,
+        CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS BIGINT) AS dup_chars,
+        CAST(SUM(CASE WHEN line LIKE '- %' OR line LIKE '* %' THEN cnt ELSE 0 END) AS BIGINT) AS bullet_lines,
+        CAST(SUM(CASE WHEN line LIKE '%...' THEN cnt ELSE 0 END) AS BIGINT) AS ellipsis_lines
+      FROM lc GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines,
+      1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+      CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_char_frac,
+      CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+      CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+      (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.3
+        AND CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.2
+        AND CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+        AND CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+        AS keep
+    FROM agg
+    """,
+)
+def docs_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per-doc duplicate-line fraction, duplicate-line CHARACTER fraction,
+    bullet-start and ellipsis-end line fractions, and the keep/drop
+    decision at the published thresholds (0.30 / 0.20 / 0.90 / 0.30).
+    Fractions are ratios of exactly-computed integers, so the doubles
+    (and threshold comparisons) are bit-identical across engines — no
+    float-accumulation ordering anywhere. Planted corpus: an intra-doc
+    duplicated spam line on 1/4 of docs, bullet lines on 1/5 and 1/9,
+    an ellipsis line on 1/6. Scale shape: explode(lines) → one
+    map-side-combined (doc, line) count → one per-doc aggregate — two
+    shuffles, both on doc_id-prefixed keys, no window, no UDF."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("\n" + _REP_DUP + "\n" + _REP_DUP)
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("\n" + _REP_BULLET1)).otherwise(""),
+        F.when(F.col("doc_id") % 6 == 2, F.lit("\n" + _REP_ELLIPSIS)).otherwise(""),
+        F.when(F.col("doc_id") % 9 == 3, F.lit("\n" + _REP_BULLET2)).otherwise(""),
+    )
+    lines = d.select("doc_id", t.alias("text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n", -1)).alias("line")
+    )
+    lc = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("chars", F.length("line").cast("long"))
+    )
+    is_bullet = F.col("line").startswith("- ") | F.col("line").startswith("* ")
+    is_ellipsis = F.col("line").endswith("...")
+    agg = lc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("chars")).cast("long").alias("n_chars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("chars")).otherwise(0)
+        ).cast("long").alias("dup_chars"),
+        F.sum(F.when(is_bullet, F.col("cnt")).otherwise(0)).cast("long").alias("bullet_lines"),
+        F.sum(F.when(is_ellipsis, F.col("cnt")).otherwise(0)).cast("long").alias("ellipsis_lines"),
+    )
+    dup_line_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_lines").cast("double")
+    dup_char_frac = F.col("dup_chars").cast("double") / F.col("n_chars").cast("double")
+    bullet_frac = F.col("bullet_lines").cast("double") / F.col("n_lines").cast("double")
+    ellipsis_frac = F.col("ellipsis_lines").cast("double") / F.col("n_lines").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        (
+            (dup_line_frac <= 0.3)
+            & (dup_char_frac <= 0.2)
+            & (bullet_frac <= 0.9)
+            & (ellipsis_frac <= 0.3)
+        ).alias("keep"),
+    )
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 
@@ -2366,6 +2616,9 @@ _REGISTRY_TAIL = [
     "events_session_window",       # W3 session keeps events_sessionization
     "cube_order_priority",         # A5 keeps rollup_order_status
     "grouping_sets_order_year",    # A5 keeps rollup + cube forms
+    "docs_example_ids",            # prefix-sum core keeps docs_token_shards + docs_pack_assign
+    "orders_price_quartiles_approx",  # W3 percentiles keep the exact quartiles form
+    "events_user_approx_distinct", # rows-only row anyway; A3 keeps its pytest error-bound gate
 ]
 
 

@@ -91,3 +91,25 @@ def test_knn_level_assertion_fires():
 
     with pytest.raises(ValueError):
         level_for_max_distance(10**9)  # bigger than a face
+
+
+def test_pack_assign_window_is_bucket_partitioned(spark):
+    # the per-bucket rank must come from the grouped prefix-sum core:
+    # every Window in the plan is partitioned by (_psb, bucket_cap) —
+    # never an empty or bucket-only partition spec (which would run the
+    # whole corpus on ~5 window tasks)
+    import osm_addr_tools_spark.queries as Q
+
+    p = plan_of(Q.QUERIES["docs_pack_assign"](spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "partitionBy=" in line:
+            assert "_psb" in line, line
+
+
+def test_decontaminate_joins_on_gram_no_nested_loop(spark):
+    import osm_addr_tools_spark.queries as Q
+
+    p = plan_of(Q.QUERIES["docs_decontaminate"](spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert "gram" in p  # equi-join key survives into the physical plan

@@ -203,3 +203,43 @@ def test_running_sum_rejects_bad_boundaries_string(spark):
     df = spark.createDataFrame([(1, 1)], "k long, v long")
     with pytest.raises(ValueError, match="'auto'"):
         running_sum(df, "k", "v", boundaries="quantile")
+
+
+def test_grouped_row_number_equals_partitioned_window(spark):
+    import random
+
+    from osm_addr_tools_spark.operators.prefix_sum import grouped_row_number
+
+    rng = random.Random(23)
+    keys = list(range(-1500, 1500))
+    rng.shuffle(keys)
+    pdf = pd.DataFrame({"k": keys, "g": [k % 7 for k in keys]})
+    df = spark.createDataFrame(pdf).repartition(16)
+    got = grouped_row_number(df, "g", "k", out_col="rn", num_buckets=29)
+    w = Window.partitionBy("g").orderBy("k")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert {(r.k, r.g, r.rn) for r in got.collect()} == {
+        (r.k, r.g, r.rn) for r in want.collect()
+    }
+
+
+def test_grouped_row_number_guards(spark):
+    from osm_addr_tools_spark.operators.prefix_sum import grouped_row_number
+
+    many = spark.createDataFrame(
+        [(i, i) for i in range(50)], "k long, g long"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_row_number(many, "g", "k", max_groups=10).collect()
+
+    null_key = spark.createDataFrame(
+        [(1, "a"), (None, "a")], "k long, g string"
+    )
+    with pytest.raises(ValueError, match="contains nulls"):
+        grouped_row_number(null_key, "g", "k")
+
+    null_group = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k long, g string"
+    )
+    with pytest.raises(ValueError, match="group column"):
+        grouped_row_number(null_group, "g", "k")
