@@ -164,6 +164,18 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # join; CC runs eagerly at build — read the algo column)
         "docs_token_shards": lambda: Q.QUERIES["docs_token_shards"](spark, sf_dir),
         "emb_dedup_retention": lambda: Q.QUERIES["emb_dedup_retention"](spark, sf_dir),
+        # r6: the four new training-data families — length-bucketed
+        # sequence packing (grouped prefix-sum rank), benchmark
+        # decontamination (distinct 5-gram equi-join), the Gopher
+        # repetition filter (two shuffles, no window) and C4 boilerplate
+        # line removal (corpus-level anti-join + ordered reassembly)
+        "docs_pack_assign": lambda: Q.QUERIES["docs_pack_assign"](spark, sf_dir),
+        "docs_decontaminate": lambda: Q.QUERIES["docs_decontaminate"](spark, sf_dir),
+        "docs_repetition_filter": lambda: Q.QUERIES["docs_repetition_filter"](spark, sf_dir),
+        "docs_boilerplate_removal": lambda: Q.QUERIES["docs_boilerplate_removal"](spark, sf_dir),
+        # r6: exact duplicated-substring spans (Lee et al. ExactSubstr as
+        # distributed k-grams + per-doc gaps-and-islands merge)
+        "docs_dup_spans": lambda: Q.QUERIES["docs_dup_spans"](spark, sf_dir),
     }
 
 

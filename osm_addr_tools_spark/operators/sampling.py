@@ -124,3 +124,46 @@ def stratified_sample(
         else F.lit(int(round(default_rate * mod)))
     )
     return df.where(h < thresh)
+
+
+def source_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    max_sources: int = 256,
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` rows per
+    ``source_col``, priority = Fibonacci hash of the id (ties broken by
+    the id) — the domain-balancing pass of a crawl pipeline (C4 caps
+    pages per domain; Gopher/RefinedWeb cap per registered domain) that
+    stops a single boilerplate-heavy site from dominating the corpus.
+
+    The hash priority makes the kept subset a deterministic pseudo-random
+    sample of each source — NOT first-crawled-wins (crawl order is
+    operationally arbitrary) — and reproducible across runs, layouts and
+    parallelism. Unlike split/sample membership it is per-SNAPSHOT: a new
+    doc with a smaller hash can displace a previously-kept one at the cap
+    boundary; cap semantics are inherently ranked, document accordingly.
+
+    Scale shape: sources are FEW (languages/registered domains after
+    grouping) but HUGE, exactly the grouped_row_number contract — a plain
+    ``row_number().over(partitionBy(source))`` would run each source on
+    ONE task; the two-pass prefix-sum core keeps every stage at full
+    parallelism. ``max_sources`` bounds its driver-side partials collect;
+    beyond that, use the plain window (already parallel at high
+    cardinality)."""
+    if cap < 1:
+        raise ValueError(f"source_cap: cap must be ≥ 1, got {cap}")
+    from osm_addr_tools_spark.operators.prefix_sum import grouped_row_number
+
+    prio = fib_bucket(id_col, _MOD32)
+    ranked = grouped_row_number(
+        df.withColumn("_prio", prio),
+        group_col=source_col,
+        order_cols=["_prio", id_col],
+        out_col=rank_col,
+        max_groups=max_sources,
+    )
+    return ranked.where(F.col(rank_col) <= cap).drop("_prio")

@@ -1,0 +1,125 @@
+"""Exact duplicated-substring span detection (sequence-level dedup).
+
+The ExactSubstr scheme of Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better" (arXiv:2107.06499): a span of tokens that
+occurs verbatim more than once in the corpus — across documents OR
+repeated inside one document — is memorization fuel and should be
+removed (or audited) even when the two documents are otherwise distinct,
+which is exactly the case whole-document and near-dup (MinHash/SimHash)
+passes cannot see. The reference implementation builds a corpus-wide
+suffix array; a suffix array is a single global sorted structure and
+does not distribute. The distributed re-expression below is the standard
+one (also how BigQuery/Spark pipelines at CCNet/RedPajama scale do it):
+every duplicated substring of length ≥ k is a union of duplicated
+k-grams, so
+
+  1. slide a k-token window over every doc → (doc, pos, gram), pure
+     Column expressions (regexp_extract_all / transform / slice /
+     posexplode — whole-stage codegen, no UDF);
+  2. count occurrences per gram (map-side-combined hash agg) and keep
+     grams with total count ≥ min_count — INCLUDING within-doc repeats:
+     a doc quoting itself is still a duplicated substring;
+  3. equi-join hits back (AQE-decided; the dup-gram side is one row per
+     gram, so a gram occurring D times joins 1:D — never an occurrence-
+     count wedge);
+  4. merge each doc's hit windows [pos, pos+k) into maximal intervals —
+     the classic gaps-and-islands pass: flag window starts beyond the
+     running max end, prefix-sum the flags into island ids, aggregate.
+     The two windows are partitioned BY DOC — bounded by tokens-per-doc
+     and parallel across docs, never a global window.
+
+Output is the REMOVAL WORKLIST (doc_id, span_start, span_end, n_grams)
+in token coordinates, same contract as the PII scan / decontamination:
+apply with a per-doc rewrite, or drop docs whose spans cover too much.
+
+Equivalence to the suffix-array form: a maximal duplicated substring of
+length L ≥ k contributes exactly its L-k+1 constituent k-gram windows,
+all duplicated, which merge back into the [start, start+L) interval;
+conversely every reported interval is a union of overlapping duplicated
+k-grams. Duplicated runs SHORTER than k are not reported — k is the
+scheme's minimum-match length (Lee et al. use 50 BPE tokens).
+
+Scale note (100 TB): the shuffle key for steps 2-3 should be
+``xxhash64(gram)`` with a residual gram-equality filter on the join — an
+8-byte key instead of a ~60-byte string. At test scale the string key
+keeps the plan oracle-identical; the hash variant is the same one-line
+toggle documented in operators/decontam.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.operators.decontam import TOKEN_RE
+
+
+def positioned_grams(
+    df: DataFrame, text_col: str, k: int, id_col: str
+) -> DataFrame:
+    """One row per k-token window: (id_col, pos, gram), pos = 0-based
+    start token index. Docs shorter than k tokens emit no rows. Same
+    tokenizer as operators.decontam (lowercase [a-z0-9]+ runs)."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    return (
+        df.select(id_col, toks.alias("_t"))
+        .where(F.size("_t") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(_t) - {k - 1}),"
+                    f" i -> array_join(slice(_t, i, {k}), ' '))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end, n_grams) for every maximal token
+    interval of ``docs`` covered by k-grams occurring ≥ ``min_count``
+    times corpus-wide (within-doc repeats count). Spans are half-open
+    token-index intervals [span_start, span_end), length ≥ k, and
+    non-overlapping per doc. Docs with no duplicated k-gram are absent —
+    the output is a worklist, not an annotation."""
+    if k < 2:
+        raise ValueError(f"duplicated_spans: k must be ≥ 2, got {k}")
+    g = positioned_grams(docs, text_col, k, id_col)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select(
+        id_col,
+        F.col("pos").cast("long").alias("_s"),
+        (F.col("pos") + k).cast("long").alias("_e"),
+    )
+    # gaps-and-islands: per-doc windows, ordered by start (unique per doc
+    # — one window per position). A window starting at or before the
+    # running max end overlaps-or-touches the current island; touching
+    # ([p, p+k) then [p+k, p+2k)) merges too — contiguous duplicated text.
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("_s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("_s").alias("span_start"),
+            F.max("_e").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )

@@ -1752,6 +1752,132 @@ def docs_repetition_filter(spark, sf_dir):
     )
 
 
+_SPAN_CROSS = (
+    "shared licensing boilerplate paragraph reproduced verbatim across "
+    "mirrored hosts of this dataset corpus"
+)  # 14 tokens ≥ k: every planted doc carries all its internal 8-grams
+
+
+@q(
+    "docs_dup_spans",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 13 = 3 THEN ' {_SPAN_CROSS}' ELSE '' END
+        || CASE WHEN doc_id % 29 = 5
+                THEN ' alpha bravo charlie delta echo foxtrot golf hotel '
+                     || CAST(doc_id AS VARCHAR)
+                     || ' alpha bravo charlie delta echo foxtrot golf hotel '
+                     || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+        AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM corpus
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM tok WHERE len(t) >= 8)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 8 AS BIGINT) AS e
+      FROM g JOIN dup USING (gram)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+        CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+        SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      FROM flagged
+    )
+    SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def docs_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr,
+    arXiv:2107.06499, re-expressed distributed): maximal per-doc token
+    intervals covered by 8-grams occurring ≥2 times corpus-wide —
+    within-doc repeats included — as a removal worklist in token
+    coordinates. The suffix-array of the paper is a global sorted
+    structure; the k-gram decomposition is the distributable equivalent
+    (operators/spans.py documents the equivalence proof and the
+    xxhash64-key variant for 100 TB shuffles). Planted corpus: a
+    14-token licensing sentence shared by 1/13 of docs (cross-doc
+    spans) and a doc-id-salted 9-token phrase appended TWICE to 1/29 of
+    docs (a purely intra-doc duplicate whose four dup windows must merge
+    across the copy boundary into ONE 18-token span — pinning the
+    gaps-and-islands merge). Scale shape: codegen windowing, map-side-
+    combined gram counts, AQE-decided 1-row-per-gram equi-join, then
+    per-DOC windows only (bounded by tokens-per-doc, parallel across
+    docs — never a global window)."""
+    from osm_addr_tools_spark.operators.spans import duplicated_spans
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    self_phrase = F.concat(
+        F.lit(" alpha bravo charlie delta echo foxtrot golf hotel "),
+        F.col("doc_id").cast("string"),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 3, F.lit(" " + _SPAN_CROSS)).otherwise(""),
+            F.when(
+                F.col("doc_id") % 29 == 5, F.concat(self_phrase, self_phrase)
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return duplicated_spans(corpus, k=8)
+
+
+@q(
+    "docs_source_cap",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_fib_sql(4294967296)}, doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def docs_source_cap(spark, sf_dir):
+    """Per-source document cap (C4 / Gopher / RefinedWeb domain
+    balancing): keep at most 10 docs per source, priority = the
+    split-assign Fibonacci hash of doc_id (ties by id) — a deterministic
+    pseudo-random sample of each source, never first-crawled-wins, and
+    reproducible across runs/layouts/parallelism. Sources are FEW but
+    HUGE — exactly the grouped_row_number contract: the plain
+    row_number window would run each entire source on ONE task; the
+    two-pass prefix-sum core keeps every stage at full parallelism
+    (the oracle uses the plain window, which IS the semantics).
+    Implementation: operators.sampling.source_cap."""
+    from osm_addr_tools_spark.operators.sampling import source_cap
+
+    return source_cap(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        source_col="source",
+        cap=10,
+    )
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 
@@ -2619,6 +2745,8 @@ _REGISTRY_TAIL = [
     "docs_example_ids",            # prefix-sum core keeps docs_token_shards + docs_pack_assign
     "orders_price_quartiles_approx",  # W3 percentiles keep the exact quartiles form
     "events_user_approx_distinct", # rows-only row anyway; A3 keeps its pytest error-bound gate
+    "dedup_minhash_lsh",           # intermediate gate; dedup_minhash_components runs the full LSH→CC path
+    "geo_distance_band_count",     # J5 keeps geo_knn_nearest_supplier + the band join inside geo_customer_clusters
 ]
 
 

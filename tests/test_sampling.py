@@ -118,3 +118,46 @@ def test_stratified_sample_rate_validation(spark):
         stratified_sample(df, "lang", {"en": 1.5})
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, "lang", {"en": 0.5}, default_rate=-0.1)
+
+
+def test_source_cap_identity_to_plain_window_and_cap(spark):
+    from pyspark.sql import Window
+    from osm_addr_tools_spark.operators.sampling import source_cap
+
+    n, cap = 400, 7
+    rows = [(i, f"src{i % 5}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(9)
+    got = sorted(
+        tuple(r) for r in source_cap(df, cap=cap).select(
+            "doc_id", "source", "rank"
+        ).collect()
+    )
+    # the plain window IS the semantics (and the oracle's form)
+    w = Window.partitionBy("source").orderBy(
+        fib_bucket("doc_id", 2**32), F.col("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= cap)
+        .collect()
+    )
+    assert got == want
+    # exactly cap per source, ranks dense 1..cap
+    by_src: dict[str, list[int]] = {}
+    for _, s, r in got:
+        by_src.setdefault(s, []).append(r)
+    assert all(sorted(v) == list(range(1, cap + 1)) for v in by_src.values())
+    assert len(by_src) == 5
+
+
+def test_source_cap_small_sources_kept_whole_and_validation(spark):
+    from osm_addr_tools_spark.operators.sampling import source_cap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = source_cap(df, cap=10).collect()
+    assert len(out) == 3  # below-cap sources keep every row
+    with pytest.raises(ValueError, match="cap must be"):
+        source_cap(df, cap=0)
