@@ -865,3 +865,73 @@ def remove_boilerplate_lines(
         .join(reassembled, id_col, "left")
         .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style corpus-level paragraph deduplication: keep only
+    the GLOBAL FIRST occurrence of every paragraph — first by document id,
+    then by position within the document — and delete every later
+    occurrence, across documents and within them. The complement of
+    ``remove_boilerplate_lines``: that pass deletes a hot line from ALL
+    documents once it crosses a frequency threshold; this pass keeps
+    exactly one canonical copy of every paragraph, so syndicated articles,
+    quoted passages and mirrored pages contribute their shared text once.
+
+    Empty / whitespace-only paragraphs are STRUCTURAL (separators, not
+    content) and are exempt — every document keeps its own.
+
+    Returns one row per input document: (id_col, out_col); a document
+    whose every paragraph already occurred earlier comes back as an EMPTY
+    string (never dropped — downstream length filters decide its fate).
+
+    Scale shape: posexplode(split) → one shuffle on the paragraph value →
+    row_number window PARTITIONED BY PARAGRAPH (data-sized key → full
+    parallelism; this is the high-cardinality case where the plain window
+    is the right tool, unlike the few-huge-groups ranks that go through
+    prefix_sum.grouped_row_number) → per-doc ordered reassembly. The
+    window key is the raw paragraph, not a 64-bit hash — a collision
+    would silently delete an innocent paragraph (same exactness argument
+    as remove_boilerplate_lines); at 100 TB the shuffle can be narrowed
+    by keying on (xxhash64(para), para) with the hash as a prefix, which
+    AQE-splits hot empty-ish keys, without changing the decision.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    # structural rows bypass the window entirely — routing them through it
+    # would funnel every empty paragraph in the corpus into ONE hot
+    # partition ("" is the most frequent paragraph value by far) just to
+    # discard the rank afterwards
+    is_content = F.trim(F.col("para")) != ""
+    structural = paras.where(~is_content)
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    firsts = (
+        paras.where(is_content)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = firsts.unionByName(structural).select(id_col, "pos", "para")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

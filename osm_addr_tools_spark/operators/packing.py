@@ -94,3 +94,62 @@ def pack_by_length_bucket(
             (F.col("_r0") % F.col("_pp")).cast("long").alias("slot"),
         )
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding context-window chunking — the other standard way (besides
+    packing above and ``token_shards``' concatenate-and-shard) to turn
+    variable-length documents into model-sized training examples: emit a
+    chunk of up to ``window`` whitespace tokens starting at every
+    ``stride``-th token (stride < window ⇒ overlapping chunks, the usual
+    LM pre-training setup so no span is only ever seen split across a
+    boundary; stride = window ⇒ an exact partition of the document).
+
+    Output: one row per chunk — (id_col, chunk_idx, start_tok, n_tok,
+    chunk_text); chunk_idx is 0-based within the document, start_tok its
+    0-based first-token offset, and only the final chunk of a document
+    may be shorter than ``window``. Every token of every document appears
+    in at least one chunk; a document always yields ≥ 1 chunk (an empty
+    text yields one empty chunk — downstream filters decide).
+
+    Scale shape: one scan, zero shuffles, zero joins — split / sequence /
+    posexplode / slice / array_join are all JVM codegen; output size is
+    ceil(n/stride) rows per doc, a pure map. The whole-document token
+    array lives once per row during the explode (bounded by the longest
+    single document, not the corpus)."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be ≥ 1; got {window}, {stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would silently drop tokens"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(F.lit(window), F.col("_n") - F.col("start_tok"))
+            .cast("long")
+            .alias("n_tok"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_tok") + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -167,3 +167,54 @@ def source_cap(
         max_groups=max_sources,
     )
     return ranked.where(F.col(rank_col) <= cap).drop("_prio")
+
+
+def mix_weights_sqrt(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: str,
+    weight_col: str = "weight_ppm",
+) -> DataFrame:
+    """Temperature-based corpus mixing weights (the data-mixture step of a
+    training pipeline — UniMax / "sampling with temperature" at α = 1/2):
+    each group's sampling weight is proportional to sqrt(its token count),
+    flattening the head (a 100× bigger corpus gets only 10× the weight)
+    without the starvation of uniform mixing.
+
+    α is FIXED at 1/2 deliberately: sqrt is the one fractional power IEEE
+    754 guarantees correctly rounded, so ``floor(sqrt(n))`` is
+    bit-identical on every engine (Spark, DuckDB, numpy) — a general
+    ``pow(n, α)`` is a libm call with no such guarantee and would break
+    cross-engine reproducibility of the mixture itself.
+
+    Exactness discipline: per-group token counts are summed in int64
+    (exact, order-free), reduced through integer sqrt, and the weight is
+    surfaced as exact integer PARTS PER MILLION — ``isqrt * 1_000_000 div
+    Σ isqrt`` — never a float share whose accumulation order could drift.
+    Weights sum to ≤ 1e6 (the remainder is truncation, < #groups ppm).
+
+    Scale shape: one map-side-combined hash aggregate over the corpus →
+    a #groups-sized table (languages × sources: bounded, tiny) → 1-row
+    broadcast of the isqrt total (the standard scalar-join pattern — a
+    broadcast of one row, not a data-sized cross join) → pure Column
+    arithmetic. No window, no data-sized shuffle beyond the group agg."""
+    g = df.groupBy(*group_cols).agg(
+        F.sum(F.col(size_col).cast("long")).alias("n_tokens")
+    )
+    g = g.withColumn(
+        "isqrt_tokens", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = g.agg(
+        F.greatest(F.sum("isqrt_tokens"), F.lit(1)).cast("long").alias("_tot")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))  # 1-row scalar total, broadcast
+        .select(
+            *group_cols,
+            "n_tokens",
+            "isqrt_tokens",
+            F.expr(f"isqrt_tokens * 1000000 div _tot")
+            .cast("long")
+            .alias(weight_col),
+        )
+    )

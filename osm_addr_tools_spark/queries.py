@@ -1878,6 +1878,228 @@ def docs_source_cap(spark, sf_dir):
     )
 
 
+_PARA_BANNER = "This article is syndicated under a creative commons license"
+_PARA_RARE = "editors note appearing on exactly two pages"
+
+
+@q(
+    "docs_paragraph_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 8 = 3 THEN chr(10) || text ELSE '' END
+        || CASE WHEN doc_id % 4 = 1 THEN chr(10) || '{_PARA_BANNER}' ELSE '' END
+        || CASE WHEN doc_id % 97 = 10 THEN chr(10) || '{_PARA_RARE}' ELSE '' END
+        AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 9 = 4
+    ),
+    lines AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS ord, unnest(l) AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
+    ),
+    firsts AS (
+      SELECT doc_id, ord, para FROM (
+        SELECT doc_id, ord, para,
+               ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, ord) AS rn
+        FROM lines WHERE trim(para) <> ''
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT * FROM firsts
+      UNION ALL
+      SELECT doc_id, ord, para FROM lines WHERE trim(para) = ''
+    )
+    SELECT c.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM corpus c LEFT JOIN (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS clean_text
+      FROM kept GROUP BY doc_id
+    ) r USING (doc_id)
+    """,
+)
+def docs_paragraph_dedup(spark, sf_dir):
+    """RefinedWeb-style corpus-level paragraph dedup: keep only the
+    GLOBAL FIRST occurrence (by doc_id, then position) of every
+    non-empty paragraph, across documents and within them — the
+    complement of docs_boilerplate_removal (which deletes hot lines from
+    ALL docs past a threshold; this keeps exactly one canonical copy).
+    Planted corpus: a syndication banner on 1/4 of docs (one winner
+    keeps it), a paragraph shared by ~2 docs (first doc keeps), a
+    within-doc self-repeat on 1/8 (second occurrence removed), and full
+    document copies of 1/9 of docs (every paragraph already seen →
+    clean_text must come back as the EMPTY string, never a dropped
+    row). Implementation: operators.dedup.dedup_paragraphs — structural
+    (empty) paragraphs bypass the para-partitioned window so the ""
+    key never becomes one hot task."""
+    from osm_addr_tools_spark.operators.dedup import dedup_paragraphs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 8 == 3, F.concat(F.lit("\n"), F.col("text"))
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("\n" + _PARA_BANNER)).otherwise(""),
+        F.when(F.col("doc_id") % 97 == 10, F.lit("\n" + _PARA_RARE)).otherwise(""),
+    )
+    corpus = d.select("doc_id", t.alias("text")).unionByName(
+        d.where(F.col("doc_id") % 9 == 4).select(
+            (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_paragraphs(corpus)
+
+
+@q(
+    "docs_chunk_windows",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5
+      UNION ALL
+      SELECT doc_id, repeat(text || ' ', 3) FROM documents WHERE doc_id % 13 = 5
+    ),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+      FROM corpus
+    ),
+    s AS (SELECT doc_id, l, len(l) AS n FROM t),
+    starts AS (
+      SELECT doc_id, l, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 24)) AS start_tok,
+             generate_subscripts(generate_series(0, greatest(n - 1, 0), 24), 1) - 1
+               AS chunk_idx
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(32, n - start_tok) AS BIGINT) AS n_tok,
+           array_to_string(l[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def docs_chunk_windows(spark, sf_dir):
+    """Sliding context-window chunking (window=32 tokens, stride=24 —
+    overlapping chunks, the standard LM pre-training setup): one row per
+    chunk with 0-based chunk_idx / start_tok, only a document's final
+    chunk may be short, and every token lands in ≥1 chunk. 1/13 of docs
+    are tripled so multi-chunk paths dominate the gate. Implementation:
+    operators.packing.chunk_token_windows — split / sequence /
+    posexplode / slice / array_join, all JVM codegen: ZERO shuffles,
+    zero joins; a pure map whose cost is ceil(n/stride) rows per doc."""
+    from osm_addr_tools_spark.operators.packing import chunk_token_windows
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 13 != 5).unionByName(
+        d.where(F.col("doc_id") % 13 == 5).select(
+            "doc_id", F.repeat(F.concat(F.col("text"), F.lit(" ")), 3).alias("text")
+        )
+    )
+    return chunk_token_windows(corpus, window=32, stride=24)
+
+
+@q(
+    "docs_mixing_weights",
+    """
+    WITH d AS (
+      SELECT lang, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY lang, source
+    ),
+    i AS (
+      SELECT lang, source, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isqrt_tokens
+      FROM g
+    ),
+    t AS (SELECT CAST(greatest(SUM(isqrt_tokens), 1) AS BIGINT) AS tot FROM i)
+    SELECT lang, source, n_tokens, isqrt_tokens,
+           CAST(isqrt_tokens * 1000000 // tot AS BIGINT) AS weight_ppm
+    FROM i CROSS JOIN t
+    """,
+)
+def docs_mixing_weights(spark, sf_dir):
+    """Temperature-based corpus mixing weights at α = 1/2 (UniMax-style
+    head flattening) per (lang, source) stratum: weight_ppm =
+    isqrt(token count) * 1e6 div Σ isqrt — EXACT integer parts-per-
+    million end to end (int64 token sums, IEEE-correctly-rounded sqrt,
+    integer division), so the mixture itself is reproducible across
+    engines and runs. Implementation: operators.sampling.mix_weights_sqrt
+    — one map-side-combined aggregate, a 1-row broadcast of the scalar
+    total, pure Column arithmetic; no window, no data-sized join."""
+    from osm_addr_tools_spark.operators.sampling import mix_weights_sqrt
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return mix_weights_sqrt(d, ["lang", "source"], "n_tok")
+
+
+_CLS_DIM = 1 << 16
+
+
+@q(
+    "docs_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+        CASE WHEN length(t) = 0 THEN 0 ELSE
+          least(length(t), 10000) * 131
+          + ascii(substr(t, 1, 1)) * 17
+          + ascii(substr(t, least(length(t), 10000), 1)) * 7
+          + ascii(substr(t, (least(length(t), 10000) + 1) // 2, 1))
+        END AS probe
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id,
+             (probe * 2654435761) % 4294967296 % {_CLS_DIM} AS bucket
+      FROM p
+    ),
+    sw AS (
+      SELECT doc_id,
+             CAST(SUM((bucket * 2654435761) % 4294967296 % 1001 - 500) AS BIGINT)
+               AS score_num,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, score_num,
+           score_num / (n_tok * 500.0) AS score,
+           score_num / (n_tok * 500.0) >= 0.0 AS keep
+    FROM sw
+    """,
+)
+def docs_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the fastText-style linear
+    classifier gate of GPT-3 / CCNet / FineWeb) via the feature-hashing
+    trick: score = Σ_token w[h(token)] / (n_tok · 500) over a 2^16
+    bucket space, keep = score ≥ 0. Weights derive arithmetically from
+    the bucket id (engine-portable stand-in for a trained vector — the
+    production pandas-UDF path carrying a real numpy weight vector is
+    hashed_score_pandas, pytest-pinned output-identical). score_num is
+    an EXACT int64 sum, the only float op a single final division.
+    Implementation: operators.quality.hashed_score — split → aggregate
+    lambda inside whole-stage codegen: ZERO shuffles, zero joins, zero
+    Python; quality filtering at scan speed."""
+    from osm_addr_tools_spark.operators.quality import hashed_score
+
+    return hashed_score(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), dim=_CLS_DIM
+    )
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 
@@ -2734,6 +2956,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # families that keep another hash-green row — never a family's only gate.
 _REGISTRY_TAIL = [
     # ordered most-valuable-first: a cap drops from the very END
+    # -- r6 demotions (each hash-green in CORRECTNESS_r05; demoted because a
+    #    sibling gate keeps the same kernel driver-verified) --
+    "docs_fingerprint",            # trivial sha256 pass-through; winnow/exact-dup gates hash kernels
+    "docs_split_assign",           # sampling.fib_bucket kept driver-gated by docs_stratified_sample
+    "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention
+    "tile_assignments",            # C4 cover kept gated by tile_untile_roundtrip + tile_cover_superset
     "docs_winnow_fingerprints",    # intermediate gate; docs_winnow_partial_dups runs the full path
     "events_running_cents",        # W3 frames keep quartiles + sessionization sums
     "customers_without_orders",    # J6 keeps both dedup retention anti-joins
