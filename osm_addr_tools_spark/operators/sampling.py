@@ -218,3 +218,64 @@ def mix_weights_sqrt(
             .alias(weight_col),
         )
     )
+
+
+# --- deterministic corpus shuffle (Feistel permutation) ---------------------
+
+_FEISTEL_BITS = 31  # half-width: bijection over [0, 2^62)
+_FEISTEL_MASK = (1 << _FEISTEL_BITS) - 1
+_FEISTEL_KEYS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+
+
+def feistel_shuffle_key(id_col, bits: int = _FEISTEL_BITS) -> Column:
+    """Collision-FREE pseudorandom shuffle key: a 4-round Feistel network
+    over the 2*bits-bit id space — a BIJECTION, so ordering by the key is
+    a true deterministic permutation of the corpus (the training-order
+    shuffle), unlike ordering by a hash where collisions make tie order
+    layout-dependent (fib_bucket ties would need a secondary id sort; the
+    Feistel key needs none — every id maps to a distinct key).
+
+    Pure int64 Column arithmetic, shuffle-free, inside codegen: halves
+    are ``bits``-wide so the round function ``(R * FIB + k) mod 2^bits``
+    peaks at 2^31 * FIB ≈ 5.7e18 < 2^63 — no overflow, no decimal
+    needed (contrast fib_bucket, whose full-width multiply does need it).
+    Ids must lie in [0, 2^(2*bits)) = [0, 4.6e18) at the default — far
+    above the 10^12-doc design scale; the caller owns that contract
+    (same as sampling ids being non-negative).
+
+    Keys for the same id are stable across runs/layouts/corpus growth;
+    the permutation is seeded by fixed round constants (splitmix64/xxhash
+    mixing constants, public domain)."""
+    mod = 1 << bits
+    c = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("long")
+    # exact bit arithmetic for the halves — `c / mod` would be a DOUBLE
+    # division, silently lossy past 2^53 (the same ulp trap packing.py
+    # avoids with `div`); ids are non-negative so shiftright is floor-div
+    left = F.shiftright(c, bits) % F.lit(mod)  # high half
+    right = c.bitwiseAND(F.lit(mod - 1))
+    for k in _FEISTEL_KEYS:
+        f = (right * F.lit(FIB_MULT) + F.lit(k)) % F.lit(mod)
+        left, right = right, left.bitwiseXOR(f)
+    return (left * F.lit(mod) + right).cast("long")
+
+
+def feistel_shuffle_key_sql(id_expr: str, bits: int = _FEISTEL_BITS) -> str:
+    """The identical key as ANSI SQL (DuckDB oracle mirror) — same
+    int64-safe arithmetic, xor(a, b) for the round mix."""
+    mod = 1 << bits
+    left = f"(CAST(({id_expr}) // {mod} AS BIGINT) % {mod})"
+    right = f"(({id_expr}) % {mod})"
+    for k in _FEISTEL_KEYS:
+        f = f"(({right} * {FIB_MULT} + {k}) % {mod})"
+        left, right = right, f"xor({left}, {f})"
+    return f"CAST({left} * {mod} + {right} AS BIGINT)"
+
+
+def feistel_shuffle_key_py(i: int, bits: int = _FEISTEL_BITS) -> int:
+    """Pure-Python reference (property tests: bijectivity + engine parity)."""
+    mod = 1 << bits
+    left, right = (i // mod) % mod, i % mod
+    for k in _FEISTEL_KEYS:
+        f = (right * FIB_MULT + k) % mod
+        left, right = right, left ^ f
+    return left * mod + right

@@ -2042,6 +2042,42 @@ def docs_mixing_weights(spark, sf_dir):
     return mix_weights_sqrt(d, ["lang", "source"], "n_tok")
 
 
+def _shuffle_oracle_sql() -> str:
+    from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key_sql
+
+    key = feistel_shuffle_key_sql("doc_id")
+    return f"""
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key) AS BIGINT) AS shuffle_pos
+    FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
+    """
+
+
+@q("docs_shuffle_order", _shuffle_oracle_sql())
+def docs_shuffle_order(spark, sf_dir):
+    """Deterministic corpus shuffle — the training-order pass: every doc
+    gets a COLLISION-FREE pseudorandom position via a 4-round Feistel
+    permutation of its id (operators.sampling.feistel_shuffle_key — a
+    bijection, so ordering by the key is a true permutation with no
+    layout-dependent tie order; pure int64 codegen, id-pure, stable
+    under corpus growth and re-runs — never orderBy(rand())), then the
+    dense 1-based position comes from the distributed prefix-sum core
+    (global_row_number), never a single-task ROW_NUMBER window. Feistel
+    keys are uniform on [0, 2^62), exactly what the prefix sum's uniform
+    range buckets want."""
+    from osm_addr_tools_spark.operators.prefix_sum import global_row_number
+    from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", feistel_shuffle_key("doc_id").alias("shuffle_key")
+    )
+    return global_row_number(d, "shuffle_key", out_col="shuffle_pos").select(
+        "doc_id",
+        "shuffle_key",
+        F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"),
+    )
+
+
 _CLS_DIM = 1 << 16
 
 
@@ -2962,6 +2998,7 @@ _REGISTRY_TAIL = [
     "docs_split_assign",           # sampling.fib_bucket kept driver-gated by docs_stratified_sample
     "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention
     "tile_assignments",            # C4 cover kept gated by tile_untile_roundtrip + tile_cover_superset
+    "nation_customer_segments",    # A2 distinct-counting exercised inside boilerplate/decontam oracles
     "docs_winnow_fingerprints",    # intermediate gate; docs_winnow_partial_dups runs the full path
     "events_running_cents",        # W3 frames keep quartiles + sessionization sums
     "customers_without_orders",    # J6 keeps both dedup retention anti-joins

@@ -4,6 +4,7 @@ pure-Python reference, under ANSI mode) and #5 (parameterized
 stratified_sample with a multi-stratum rate map)."""
 
 import duckdb
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -161,3 +162,54 @@ def test_source_cap_small_sources_kept_whole_and_validation(spark):
     assert len(out) == 3  # below-cap sources keep every row
     with pytest.raises(ValueError, match="cap must be"):
         source_cap(df, cap=0)
+
+
+# --- Feistel corpus shuffle -------------------------------------------------
+
+
+def test_feistel_bijective_and_engine_parity(spark):
+    """The shuffle key must be a PERMUTATION (no collisions ever) and the
+    Spark Column must match the pure-Python reference across the id
+    range, including ids far beyond int32 and near the 2^62 domain end."""
+    from osm_addr_tools_spark.operators.sampling import (
+        feistel_shuffle_key,
+        feistel_shuffle_key_py,
+    )
+
+    ids = (
+        list(range(4096))
+        + [3_474_701_543, 2**40, 10**12, (1 << 62) - 1, (1 << 62) - 12345]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids})).repartition(9)
+    rows = df.select(
+        "doc_id", feistel_shuffle_key("doc_id").alias("k")
+    ).collect()
+    assert len({r.k for r in rows}) == len(ids)  # injective on the sample
+    for r in rows:
+        assert r.k == feistel_shuffle_key_py(r.doc_id)
+        assert 0 <= r.k < 1 << 62
+
+
+def test_feistel_py_full_bijection_small_domain():
+    """Exhaustive bijectivity on a small domain: restricting bits=8 makes
+    the full 2^16 id space checkable — every output hit exactly once."""
+    from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key_py
+
+    n = 1 << 16
+    keys = {feistel_shuffle_key_py(i, bits=8) for i in range(n)}
+    assert keys == set(range(n))  # onto [0, 2^16): a true permutation
+
+
+def test_feistel_layout_invariant(spark):
+    from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key
+
+    pdf = pd.DataFrame({"doc_id": range(2000)})
+    a = sorted(
+        map(tuple, spark.createDataFrame(pdf).repartition(2)
+            .select("doc_id", feistel_shuffle_key("doc_id").alias("k")).collect())
+    )
+    b = sorted(
+        map(tuple, spark.createDataFrame(pdf).repartition(17)
+            .select("doc_id", feistel_shuffle_key("doc_id").alias("k")).collect())
+    )
+    assert a == b
