@@ -176,6 +176,13 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # r6: exact duplicated-substring spans (Lee et al. ExactSubstr as
         # distributed k-grams + per-doc gaps-and-islands merge)
         "docs_dup_spans": lambda: Q.QUERIES["docs_dup_spans"](spark, sf_dir),
+        # r6 later: the scan-speed hashed quality classifier (zero
+        # shuffles — measures codegen throughput), paragraph-level
+        # first-occurrence dedup (para-partitioned window + reassembly),
+        # and the Feistel corpus shuffle through the prefix-sum core
+        "docs_quality_classifier": lambda: Q.QUERIES["docs_quality_classifier"](spark, sf_dir),
+        "docs_paragraph_dedup": lambda: Q.QUERIES["docs_paragraph_dedup"](spark, sf_dir),
+        "docs_shuffle_order": lambda: Q.QUERIES["docs_shuffle_order"](spark, sf_dir),
     }
 
 
