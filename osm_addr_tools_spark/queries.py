@@ -1396,8 +1396,10 @@ _PII_SENTENCE = (
     " call 555-867-5309 or 212.555.0142 now."
 )
 
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+# single source of truth for the PII patterns (shared with the streaming
+# filter-at-ingest stage)
+from osm_addr_tools_spark.operators.quality import EMAIL_RE as _EMAIL_RE
+from osm_addr_tools_spark.operators.quality import PHONE_RE as _PHONE_RE
 
 
 @q(

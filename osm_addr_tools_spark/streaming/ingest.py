@@ -219,3 +219,49 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str = "ap
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def filter_documents_stream(docs: DataFrame, dim: int = 1 << 16) -> DataFrame:
+    """Filter-at-ingest: the stateless per-document training-data gates —
+    the hashed linear quality classifier (operators.quality) and the PII
+    pattern scan — applied to a document STREAM. Every expression is a
+    per-row Column (no aggregation, no join, no state), so the stage is
+    streaming-capable by construction in append mode with NO watermark
+    and NO state store: exactly-once per input row, and the stream result
+    is bit-identical to the batch result on the same rows (pytest-pinned
+    across forced multi-microbatch runs).
+
+    This is the shape that matters at ingest scale: quality/PII gating
+    happens before anything stateful (dedup, sessionization) ever sees
+    the document, so the state stores downstream only carry survivors.
+
+    Output: doc_id, n_tok, score, n_email, n_phone, keep — keep is the
+    composed gate (classifier score ≥ 0 AND no PII hits)."""
+    from osm_addr_tools_spark.operators.quality import (
+        EMAIL_RE,
+        PHONE_RE,
+        W_SCALE,
+        score_cols,
+    )
+
+    n_tok, score_num = score_cols("text", dim)
+    n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("bigint")
+    n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        score_num.alias("score_num"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+    )
+    score = F.col("score_num") / (F.col("n_tok") * F.lit(float(W_SCALE)))
+    return d.select(
+        "doc_id",
+        "n_tok",
+        score.alias("score"),
+        "n_email",
+        "n_phone",
+        (
+            (score >= 0.0) & (F.col("n_email") == 0) & (F.col("n_phone") == 0)
+        ).alias("keep"),
+    )

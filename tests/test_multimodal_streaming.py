@@ -313,3 +313,31 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     key = lambda df: set(zip(df.user_id, df.start_us, df.end_us, df.n_events))
     assert key(got) == key(closeable)
     assert 0 < len(got) < len(batch)
+
+
+def test_filter_documents_stream_matches_batch(spark, tmp_path):
+    """The stateless filter-at-ingest stage (quality classifier + PII
+    scan) must produce BIT-IDENTICAL results on a forced multi-microbatch
+    stream and on the same rows as a batch — no watermark, no state
+    store, exactly one output row per input row."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/p0")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(f"{src}/p1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/p*")
+    )
+    got = ST.run_to_memory(
+        spark, ST.filter_documents_stream(stream), "filter_stream"
+    ).toPandas()
+    want = ST.filter_documents_stream(docs).toPandas()
+    key = lambda df: sorted(
+        zip(df.doc_id, df.n_tok, df.score, df.n_email, df.n_phone, df.keep)
+    )
+    assert key(got) == key(want)
+    assert len(got) == docs.count()  # exactly one row per doc
+    assert got.keep.any() and (~got.keep).any()  # gate is non-vacuous
