@@ -306,6 +306,168 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash dedup (new crawl vs persisted corpus index)
+# ---------------------------------------------------------------------------
+
+
+def _band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bucket) band table from an (_id, _sig) signature table —
+    the SAME banding construction minhash_lsh_pairs inlines (xxhash64 of
+    each signature band slice), factored so the incremental path buckets
+    batch and corpus signatures identically."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.slice("_sig", i * rows_per_band + 1, rows_per_band).cast("string")
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.withColumn("_b", F.explode(band_cols)).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+
+def _sig_agree(a_col: str, b_col: str):
+    """Agreeing-position count between two aligned signature arrays — one
+    zip_with/aggregate Column expression, no Python (same verify as
+    minhash_lsh_pairs)."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus signature index ``(doc_id, sig)`` — the PERSISTED state an
+    incremental dedup pipeline carries between crawls. At 100 TB nobody
+    re-deduplicates the whole corpus when a new crawl arrives: the corpus
+    signatures are computed ONCE, written to columnar storage (ideally via
+    sources.io.write_bucketed — see incremental_minhash_dedup), and each
+    increment joins against them. After an increment, append the kept
+    batch docs' rows to the index (same construction ⇒ same banding)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_udf(k, num_perm, seed)(F.col(text_col)).alias("sig"),
+    )
+
+
+def incremental_minhash_dedup(
+    batch_df: DataFrame,
+    index_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Ingest-time near-dup gate for a NEW batch against an EXISTING corpus
+    index — the incremental form of the dedup_minhash_lsh → retention
+    pipeline, for the production reality that crawls arrive continuously
+    and re-deduplicating 100 TB per crawl is not a plan.
+
+    Returns one row per batch doc: ``(doc_id, status)`` with status ∈
+    {'corpus_dup', 'batch_dup', 'kept'} — the ingest ledger. 'corpus_dup':
+    ≥1 index doc shares a band bucket AND estimated Jaccard ≥ threshold.
+    'batch_dup': not a corpus dup, but a near-dup of a SMALLER-id batch
+    survivor's component (connected components over within-batch pairs,
+    representative = min id — the same retention policy as
+    docs_dedup_retention). 'kept': everything else; kept docs' signatures
+    are what build_minhash_index appends to the corpus state.
+
+    Scale shape: the corpus index never re-shuffles per crawl if stored
+    bucketed on (band, bucket) (sources.io.write_bucketed) — the candidate
+    join is then Exchange-free on the index side; alternatively, a typical
+    daily increment is ≪ corpus, so ``broadcast_batch=True`` broadcasts
+    the batch band table and the corpus-side scan never shuffles AT ALL.
+    Within-batch stages shuffle only batch-sized tables. The batch
+    signature subtree is evaluated by several stages — persist it upstream
+    for large batches (same contract as running_sum's input).
+    """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
+    rpb = num_perm // bands
+    bsig = batch_df.select(
+        F.col(id_col).alias("_id"),
+        minhash_udf(k, num_perm, seed)(F.col(text_col)).alias("_sig"),
+    )
+    isig = index_df.select(
+        F.col("doc_id").alias("_id"), F.col("sig").alias("_sig")
+    )
+    bb = _band_buckets(bsig, bands, rpb)
+    ib = _band_buckets(isig, bands, rpb)
+
+    lhs = bb.select(F.col("_id").alias("a"), "band", "bucket")
+    if broadcast_batch:
+        lhs = F.broadcast(lhs)
+    # candidates travel light (ids only); signatures re-join by id for the
+    # verify step — the same payload discipline as minhash_lsh_pairs
+    corpus_hits = (
+        lhs.join(ib.select(F.col("_id").alias("b"), "band", "bucket"),
+                 ["band", "bucket"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .join(bsig.select(F.col("_id").alias("a"), F.col("_sig").alias("sa")), "a")
+        .join(isig.select(F.col("_id").alias("b"), F.col("_sig").alias("sb")), "b")
+        .where(_sig_agree("sa", "sb") / F.lit(num_perm) >= threshold)
+        .select("a")
+        .distinct()
+    )
+
+    surv = bsig.join(
+        corpus_hits.withColumnRenamed("a", "_id"), "_id", "left_anti"
+    )
+    sb = _band_buckets(surv, bands, rpb)
+    pairs = (
+        sb.select(F.col("_id").alias("a"), "band", "bucket")
+        .join(sb.select(F.col("_id").alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .join(surv.select(F.col("_id").alias("a"), F.col("_sig").alias("sa")), "a")
+        .join(surv.select(F.col("_id").alias("b"), F.col("_sig").alias("sb")), "b")
+        .where(_sig_agree("sa", "sb") / F.lit(num_perm) >= threshold)
+        .select("a", "b")
+    )
+    labels = connected_components(pairs)
+
+    return (
+        batch_df.select(F.col(id_col).alias("doc_id"))
+        .join(corpus_hits.select(F.col("a").alias("doc_id"))
+              .withColumn("_chit", F.lit(True)), "doc_id", "left")
+        .join(labels.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_chit"), F.lit("corpus_dup"))
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.lit("batch_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

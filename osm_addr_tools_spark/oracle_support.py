@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 5
+_VERSION = 6
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
@@ -189,6 +189,47 @@ def _planted_docs(sf_dir: str) -> pd.DataFrame:
     exact = d[d.doc_id % 10 == 5].copy()
     exact["doc_id"] += 2_000_000
     return pd.concat([d, near, exact], ignore_index=True)
+
+
+_INC_CUT = 1_000_000  # batch ids start here; corpus = base documents
+_INC_WORDS = ["syn", "alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+
+
+_INC_DIGITS = str.maketrans("0123456789", "abcdefghij")
+
+
+def _novel_text(i: int) -> str:
+    """Batch-only plant text: every word carries the source id as a
+    LETTER-encoded suffix (the shingle tokenizer strips digits), so two
+    distinct novel docs share ZERO word-shingles (no accidental pairs) and
+    none overlaps corpus English."""
+    sid = str(i).translate(_INC_DIGITS)
+    return " ".join(f"{w}{sid}" for w in _INC_WORDS)
+
+
+def _incremental_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus ∪ incoming-crawl batch for the incremental-dedup oracle —
+    mirrors queries._docs_incremental exactly. Corpus = base documents
+    (ids < _INC_CUT). Batch plants: near-dups of corpus (+1M), exact
+    copies of corpus (+2M), novel docs (+3M, id-salted words), and
+    within-batch exact twins of half the novel docs (+4M)."""
+    d = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    near = d[d.doc_id % 10 == 0].copy()
+    near["doc_id"] += 1_000_000
+    near["text"] += " trailing mutation"
+    exact = d[d.doc_id % 10 == 5].copy()
+    exact["doc_id"] += 2_000_000
+    nov = d[d.doc_id % 10 == 3][["doc_id"]].copy()
+    ntext = nov.doc_id.map(_novel_text)
+    nov_a = pd.DataFrame({"doc_id": nov.doc_id + 3_000_000, "text": ntext.to_numpy()})
+    twin_mask = (nov.doc_id % 20 == 3).to_numpy()
+    nov_b = pd.DataFrame(
+        {
+            "doc_id": nov.doc_id.to_numpy()[twin_mask] + 4_000_000,
+            "text": ntext.to_numpy()[twin_mask],
+        }
+    )
+    return pd.concat([d, near, exact, nov_a, nov_b], ignore_index=True)
 
 
 def _simhash_pdf(docs: pd.DataFrame) -> pd.DataFrame:
@@ -394,6 +435,9 @@ def ensure(sf_dir: str) -> str:
     _shingles_pdf(docs).to_parquet(os.path.join(out, "shingles.parquet"), index=False)
     _minhash_sigs_pdf(docs).to_parquet(
         os.path.join(out, "minhash_sigs.parquet"), index=False
+    )
+    _minhash_sigs_pdf(_incremental_docs(sf_dir)).to_parquet(
+        os.path.join(out, "inc_sigs.parquet"), index=False
     )
 
     qb, cb = _ann_buckets(sf_dir)

@@ -2347,6 +2347,112 @@ def docs_dedup_retention(spark, sf_dir):
 ORACLES["docs_dedup_retention"] = _dedup_retention_oracle_sql()
 
 
+def _docs_incremental(spark, sf_dir):
+    """(corpus, batch) for the incremental-dedup query — mirrors
+    oracle_support._incremental_docs. Corpus = base documents; batch =
+    near plants (+1M), exact plants (+2M), novel docs (+3M, every word
+    id-salted so distinct novels share zero shingles), and within-batch
+    exact twins of half the novels (+4M)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    exact = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    # letter-encode the id (the shingle tokenizer strips digits — a digit
+    # suffix would collapse every novel doc to identical shingles)
+    sid = F.translate(
+        F.col("doc_id").cast("string"), "0123456789", "abcdefghij"
+    )
+    ntext = F.concat_ws(
+        " ", *[F.concat(F.lit(w), sid) for w in _OS._INC_WORDS]
+    )
+    nov = d.where(F.col("doc_id") % 10 == 3)
+    nov_a = nov.select((F.col("doc_id") + 3_000_000).alias("doc_id"), ntext.alias("text"))
+    nov_b = nov.where(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"), ntext.alias("text")
+    )
+    batch = near.unionByName(exact).unionByName(nov_a).unionByName(nov_b)
+    return d, batch
+
+
+def _incremental_oracle_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Incremental gate over the materialized (corpus ∪ batch) signatures:
+    banding candidates + agreement verify vs the corpus slice, then a
+    recursive-CTE closure among batch survivors with min-id
+    representatives — the same split the engine computes distributed."""
+    rpb = num_perm // bands
+    band_eq = " OR ".join(
+        f"x.sig[{i * rpb + 1}:{(i + 1) * rpb}] = y.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.sig[{i}] = y.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_perm + 1)
+    )
+    return f"""
+    WITH RECURSIVE sig AS (SELECT * FROM read_parquet('{ODIR}/inc_sigs.parquet')),
+    corpus AS (SELECT * FROM sig WHERE doc_id < {_OS._INC_CUT}),
+    batch AS (SELECT * FROM sig WHERE doc_id >= {_OS._INC_CUT}),
+    chit AS (
+      SELECT DISTINCT a FROM (
+        SELECT x.doc_id AS a, ({agree}) AS agree
+        FROM batch x JOIN corpus y ON ({band_eq})
+      ) WHERE agree / {num_perm}.0 >= {threshold}
+    ),
+    surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT a FROM chit)),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT x.doc_id AS a, y.doc_id AS b, ({agree}) AS agree
+        FROM surv x JOIN surv y ON x.doc_id < y.doc_id AND ({band_eq})
+      ) WHERE agree / {num_perm}.0 >= {threshold}
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    comp AS (SELECT u, MIN(r) AS c FROM reach GROUP BY u)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id IN (SELECT a FROM chit) THEN 'corpus_dup'
+                WHEN comp.c IS NOT NULL AND comp.c <> b.doc_id THEN 'batch_dup'
+                ELSE 'kept' END AS status
+    FROM batch b LEFT JOIN comp ON comp.u = b.doc_id
+    """
+
+
+@q("docs_incremental_dedup", None)
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental dedup at ingest — the production reality the batch
+    families above deliberately idealize away: crawls arrive continuously,
+    and nobody re-deduplicates a 100 TB corpus per crawl. The corpus keeps
+    a persisted MinHash signature index (build_minhash_index; bucketed on
+    (band, bucket) via the S3 bucketed sink, or the daily batch — which is
+    ≪ corpus — broadcasts, so THE CORPUS NEVER RE-SHUFFLES). Each new
+    batch is banded once, joined against the index, agreement-verified,
+    and the survivors get within-batch component retention (min-id rep).
+    Output = the ingest ledger (doc_id, status ∈ {corpus_dup, batch_dup,
+    kept}); kept rows' signatures are appended to the index.
+    Implementation: operators/dedup.py incremental_minhash_dedup."""
+    from osm_addr_tools_spark.operators.dedup import (
+        build_minhash_index, incremental_minhash_dedup,
+    )
+
+    corpus, batch = _docs_incremental(spark, sf_dir)
+    idx = build_minhash_index(corpus)
+    return incremental_minhash_dedup(batch, idx, threshold=0.5)
+
+
+ORACLES["docs_incremental_dedup"] = _incremental_oracle_sql()
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
@@ -2996,6 +3102,7 @@ _REGISTRY_TAIL = [
     # ordered most-valuable-first: a cap drops from the very END
     # -- r6 demotions (each hash-green in CORRECTNESS_r05; demoted because a
     #    sibling gate keeps the same kernel driver-verified) --
+    "emb_ann_ivf_top3",            # ANN family keeps emb_ann_lsh_top3 as its primary gate
     "docs_fingerprint",            # trivial sha256 pass-through; winnow/exact-dup gates hash kernels
     "docs_split_assign",           # sampling.fib_bucket kept driver-gated by docs_stratified_sample
     "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention

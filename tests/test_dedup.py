@@ -720,3 +720,91 @@ def test_remove_boilerplate_lines_semantics(spark):
         5: "twice\nu6",
         6: "",
     }
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new crawl vs persisted corpus index)
+# ---------------------------------------------------------------------------
+
+_INC_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old mill"),
+    (2, "pack my box with five dozen liquor jugs before the market opens"),
+    (3, "a completely different corpus document about spark physical plans"),
+]
+_INC_BATCH = [
+    # exact copy of corpus doc 1 -> corpus_dup
+    (101, "the quick brown fox jumps over the lazy dog near the old mill"),
+    # near copy of corpus doc 2 (one word appended) -> corpus_dup
+    (102, "pack my box with five dozen liquor jugs before the market opens today"),
+    # within-batch exact twins, unseen text -> min id kept, other batch_dup
+    (103, "novel payload alpha bravo charlie delta echo foxtrot golf hotel india"),
+    (104, "novel payload alpha bravo charlie delta echo foxtrot golf hotel india"),
+    # unique novel doc -> kept
+    (105, "entirely unrelated sentence about distributed prefix sums and buckets"),
+]
+
+
+def _inc_dfs(spark):
+    c = spark.createDataFrame(_INC_CORPUS, "doc_id long, text string")
+    b = spark.createDataFrame(_INC_BATCH, "doc_id long, text string")
+    return c, b
+
+
+def test_incremental_dedup_statuses(spark):
+    c, b = _inc_dfs(spark)
+    idx = D.build_minhash_index(c)
+    got = {
+        r.doc_id: r.status
+        for r in D.incremental_minhash_dedup(b, idx, threshold=0.5).collect()
+    }
+    assert got == {
+        101: "corpus_dup",
+        102: "corpus_dup",
+        103: "kept",
+        104: "batch_dup",
+        105: "kept",
+    }
+
+
+def test_incremental_dedup_empty_index(spark):
+    """With no corpus state, nothing is a corpus_dup; within-batch
+    retention still applies."""
+    c, b = _inc_dfs(spark)
+    idx = D.build_minhash_index(c.limit(0))
+    got = {
+        r.doc_id: r.status
+        for r in D.incremental_minhash_dedup(b, idx, threshold=0.5).collect()
+    }
+    assert got[103] == "kept" and got[104] == "batch_dup"
+    assert got[101] == "kept" and got[102] == "kept" and got[105] == "kept"
+
+
+def test_incremental_dedup_kept_extends_index(spark):
+    """The incremental invariant: appending the kept docs' signatures to
+    the index makes a re-ingest of the SAME batch all-corpus_dup — the
+    crash-replay / re-crawl idempotence a production ingest gate needs."""
+    c, b = _inc_dfs(spark)
+    idx = D.build_minhash_index(c)
+    first = D.incremental_minhash_dedup(b, idx, threshold=0.5)
+    kept_ids = first.where(F.col("status") == "kept").select("doc_id")
+    idx2 = idx.unionByName(
+        D.build_minhash_index(b.join(kept_ids, "doc_id"))
+    )
+    again = D.incremental_minhash_dedup(b, idx2, threshold=0.5)
+    assert again.where(F.col("status") != "corpus_dup").count() == 0
+
+
+def test_incremental_dedup_plan_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on (band, bucket) —
+    never a nested-loop product; broadcast_batch=True must broadcast the
+    batch side of the index join."""
+    c, b = _inc_dfs(spark)
+    idx = D.build_minhash_index(c)
+    plan = D.incremental_minhash_dedup(b, idx)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    bplan = D.incremental_minhash_dedup(
+        b, idx, broadcast_batch=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bplan
+    assert "CartesianProduct" not in bplan
