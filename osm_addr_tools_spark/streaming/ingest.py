@@ -265,3 +265,91 @@ def filter_documents_stream(docs: DataFrame, dim: int = 1 << 16) -> DataFrame:
             (score >= 0.0) & (F.col("n_email") == 0) & (F.col("n_phone") == 0)
         ).alias("keep"),
     )
+
+
+def seed_dedup_index(index_df: DataFrame, index_path: str) -> None:
+    """Write the initial corpus signature index (doc_id, sig) under
+    ``index_path`` in the layout incremental_dedup_stream appends to
+    (one partition directory per ingest unit; the seed is batch_id=seed).
+    ``index_df`` comes from operators.dedup.build_minhash_index — i.e.
+    the batch pipeline's artifact IS the stream's starting state."""
+    index_df.write.mode("overwrite").parquet(f"{index_path}/batch_id=seed")
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    ledger_path: str,
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    **minhash_kw,
+):
+    """Continuous-ingest near-dup gate: each micro-batch runs
+    operators.dedup.incremental_minhash_dedup against the PERSISTED
+    corpus signature index, appends its ingest ledger, and appends the
+    kept docs' signatures back to the index — so a doc kept in batch N
+    marks its near-dups in batch N+1 as corpus_dup (cross-batch state,
+    pytest-pinned).
+
+    Why foreachBatch + columnar state, not the streaming state store:
+    the dedup state is the signature set of EVERY corpus document —
+    10^12 rows × ~0.5 KB at design scale — which belongs in the same
+    bucketed parquet/Iceberg table the batch pipeline maintains, not in
+    a per-key state store (dropDuplicatesWithinWatermark can only dedupe
+    EXACT keys within a watermark horizon; near-dup banding + agreement
+    verify needs joins). The stream and the batch pipeline therefore
+    share ONE index artifact: seed it with seed_dedup_index, and either
+    side's kept-docs appends extend the other's view.
+
+    Crash/replay idempotence: every batch writes BOTH outputs with
+    dynamic-overwrite semantics into ``batch_id=<id>`` partition
+    directories, so a foreachBatch replay after a failure rewrites the
+    same deterministic bytes instead of duplicating rows (the S5
+    manifest-sink crash-window contract, applied to streaming). Pass
+    ``checkpoint`` in production so the engine replays with the SAME
+    batch ids.
+
+    Returns the finished availableNow query (tests run it to completion).
+    """
+    from osm_addr_tools_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    spark = docs.sparkSession
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            idx = spark.read.parquet(index_path).select("doc_id", "sig")
+        except Exception:  # first batch, no seed: empty index
+            idx = build_minhash_index(batch_df.limit(0))
+        batch_df = batch_df.persist()  # signature subtree feeds 3 stages
+        try:
+            ledger = incremental_minhash_dedup(
+                batch_df, idx, threshold=threshold, **minhash_kw
+            )
+            ledger.write.mode("overwrite").parquet(
+                f"{ledger_path}/batch_id={batch_id}"
+            )
+            kept = (
+                spark.read.parquet(f"{ledger_path}/batch_id={batch_id}")
+                .where(F.col("status") == "kept")
+                .select("doc_id")
+            )
+            build_minhash_index(
+                batch_df.join(kept, "doc_id"), **{
+                    k: v for k, v in minhash_kw.items()
+                    if k in ("k", "num_perm", "seed")
+                }
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    w = docs.writeStream.foreachBatch(_one_batch).trigger(availableNow=True)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return q

@@ -341,3 +341,72 @@ def test_filter_documents_stream_matches_batch(spark, tmp_path):
     assert key(got) == key(want)
     assert len(got) == docs.count()  # exactly one row per doc
     assert got.keep.any() and (~got.keep).any()  # gate is non-vacuous
+
+
+def test_incremental_dedup_stream_cross_batch_state(spark, tmp_path):
+    """foreachBatch incremental dedup: a doc kept in micro-batch 0 must
+    mark its dup in micro-batch 1 as corpus_dup (the persisted signature
+    index IS the cross-batch state), and the final index must hold
+    exactly seed + kept signatures."""
+    import os
+
+    from osm_addr_tools_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the mill"),
+            (2, "pack my box with five dozen liquor jugs before market opens"),
+        ],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        [
+            # exact dup of seed corpus doc 1
+            (201, "the quick brown fox jumps over the lazy dog near the mill"),
+            # novel -> kept, its signature must join the index
+            (202, "novel payload alpha bravo charlie delta echo foxtrot golf"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            # exact dup of 202 (kept in batch 0) -> corpus_dup ONLY IF the
+            # index grew between micro-batches
+            (301, "novel payload alpha bravo charlie delta echo foxtrot golf"),
+            (302, "entirely unrelated sentence about distributed prefix sums"),
+        ],
+        "doc_id long, text string",
+    )
+
+    index_path = str(tmp_path / "index")
+    ledger_path = str(tmp_path / "ledger")
+    ST.seed_dedup_index(D.build_minhash_index(corpus), index_path)
+
+    src = str(tmp_path / "inc_stream")
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    # file-source batch order follows modification time: force b0 first
+    t0 = 1_700_000_000
+    for sub, t in (("b0", t0), ("b1", t0 + 100)):
+        for f in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{f}", (t, t))
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    ST.incremental_dedup_stream(stream, index_path, ledger_path)
+
+    ledger = spark.read.parquet(ledger_path).toPandas()
+    got = dict(zip(ledger.doc_id, ledger.status))
+    assert got == {
+        201: "corpus_dup",
+        202: "kept",
+        301: "corpus_dup",  # cross-batch: deduped against batch-0 keeper
+        302: "kept",
+    }
+    idx_ids = sorted(
+        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").collect()
+    )
+    assert idx_ids == [1, 2, 202, 302]
