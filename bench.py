@@ -183,6 +183,7 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         "docs_quality_classifier": lambda: Q.QUERIES["docs_quality_classifier"](spark, sf_dir),
         "docs_paragraph_dedup": lambda: Q.QUERIES["docs_paragraph_dedup"](spark, sf_dir),
         "docs_shuffle_order": lambda: Q.QUERIES["docs_shuffle_order"](spark, sf_dir),
+        "docs_incremental_dedup": lambda: Q.QUERIES["docs_incremental_dedup"](spark, sf_dir),
     }
 
 
