@@ -374,6 +374,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     seed: int = 42,
     broadcast_batch: bool = False,
+    cache_sigs: bool = False,
 ) -> DataFrame:
     """Ingest-time near-dup gate for a NEW batch against an EXISTING corpus
     index — the incremental form of the dedup_minhash_lsh → retention
@@ -395,8 +396,14 @@ def incremental_minhash_dedup(
     daily increment is ≪ corpus, so ``broadcast_batch=True`` broadcasts
     the batch band table and the corpus-side scan never shuffles AT ALL.
     Within-batch stages shuffle only batch-sized tables. The batch
-    signature subtree is evaluated by several stages — persist it upstream
-    for large batches (same contract as running_sum's input).
+    signature subtree feeds ~6 plan branches (band tables, both verify
+    joins, the survivor anti-join) — ``cache_sigs=True`` persists it once
+    (released via release_persisted_fp(), the winnow cache_fp contract);
+    default off, matching the measured small-scale trade where pipelined
+    recompute beats the materialization barrier. At web scale flip it on,
+    or better: the index-append step already writes the batch signatures
+    to columnar storage — compute them FIRST as their own stage and feed
+    that table in.
     """
     if num_perm % bands != 0:
         raise ValueError(
@@ -407,6 +414,9 @@ def incremental_minhash_dedup(
         F.col(id_col).alias("_id"),
         minhash_udf(k, num_perm, seed)(F.col(text_col)).alias("_sig"),
     )
+    if cache_sigs:
+        bsig = bsig.persist()
+        _PERSISTED_FP.append(bsig)  # released via release_persisted_fp()
     isig = index_df.select(
         F.col("doc_id").alias("_id"), F.col("sig").alias("_sig")
     )

@@ -808,3 +808,22 @@ def test_incremental_dedup_plan_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bplan
     assert "CartesianProduct" not in bplan
+
+
+def test_incremental_dedup_cache_sigs_identical_and_released(spark):
+    """cache_sigs=True must not change the ledger and must be released by
+    release_persisted_fp (the winnow cache_fp contract)."""
+    c, b = _inc_dfs(spark)
+    idx = D.build_minhash_index(c)
+    plain = {
+        r.doc_id: r.status
+        for r in D.incremental_minhash_dedup(b, idx, threshold=0.5).collect()
+    }
+    cached = {
+        r.doc_id: r.status
+        for r in D.incremental_minhash_dedup(
+            b, idx, threshold=0.5, cache_sigs=True
+        ).collect()
+    }
+    assert cached == plain
+    assert D.release_persisted_fp() >= 1
