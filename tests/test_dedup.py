@@ -827,3 +827,78 @@ def test_incremental_dedup_cache_sigs_identical_and_released(spark):
     }
     assert cached == plain
     assert D.release_persisted_fp() >= 1
+
+
+def test_incremental_dedup_consistent_with_batch_family(spark):
+    """The incremental ledger must agree with the BATCH dedup family run
+    on corpus ∪ batch: corpus_dup iff some corpus doc pairs with it at
+    the threshold; batch_dup iff a surviving smaller-id batch doc shares
+    its within-survivor component (union-find over the same pair set)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .cache()
+    )
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    fresh = docs.where(F.col("doc_id") % 3 != 0)
+    plants = corpus.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+    )
+    twins = spark.createDataFrame(
+        [
+            (600_001, "unseen twin payload alpha bravo charlie delta echo"),
+            (600_002, "unseen twin payload alpha bravo charlie delta echo"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = (
+        fresh.select((F.col("doc_id") + 400_000).alias("doc_id"), "text")
+        .unionByName(plants)
+        .unionByName(twins)
+    )
+
+    got = {
+        r.doc_id: r.status
+        for r in D.incremental_minhash_dedup(
+            batch, D.build_minhash_index(corpus), threshold=0.5
+        ).collect()
+    }
+
+    # batch-family reference on the union
+    pairs = [
+        (r.a, r.b)
+        for r in D.minhash_lsh_pairs(
+            corpus.unionByName(batch), threshold=0.5
+        ).collect()
+    ]
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    corpus_dup = {
+        b for a, b in pairs if a in corpus_ids and b in batch_ids
+    } | {a for a, b in pairs if b in corpus_ids and a in batch_ids}
+    surv = batch_ids - corpus_dup
+    parent = {v: v for v in surv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in surv and b in surv:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        d: (
+            "corpus_dup"
+            if d in corpus_dup
+            else ("batch_dup" if find(d) != d else "kept")
+        )
+        for d in batch_ids
+    }
+    assert got == want
+    assert set(want.values()) == {"corpus_dup", "batch_dup", "kept"}
