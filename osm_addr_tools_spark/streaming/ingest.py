@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -321,7 +322,13 @@ def incremental_dedup_stream(
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
             idx = spark.read.parquet(index_path).select("doc_id", "sig")
-        except Exception:  # first batch, no seed: empty index
+        except AnalysisException as e:
+            # ONLY a genuinely absent index (unseeded first batch) may fall
+            # back to empty — swallowing storage/corruption errors here
+            # would silently dedupe against NOTHING and admit the whole
+            # batch as 'kept' (an at-scale disaster, not a fallback)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             idx = build_minhash_index(batch_df.limit(0))
         batch_df = batch_df.persist()  # signature subtree feeds 3 stages
         try:

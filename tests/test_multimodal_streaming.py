@@ -410,3 +410,34 @@ def test_incremental_dedup_stream_cross_batch_state(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(index_path).select("doc_id").collect()
     )
     assert idx_ids == [1, 2, 202, 302]
+
+
+def test_incremental_dedup_stream_unseeded_index(spark, tmp_path):
+    """Without a seeded index the first batch must fall back to an empty
+    index (PATH_NOT_FOUND only — storage errors still raise) and keep
+    everything not duplicated within the batch."""
+    b0 = spark.createDataFrame(
+        [
+            (1, "one unique sentence about broadcast joins and salting"),
+            (2, "one unique sentence about broadcast joins and salting"),
+            (3, "another entirely distinct document about prefix sums"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    index_path = str(tmp_path / "idx")
+    ST.incremental_dedup_stream(stream, index_path, str(tmp_path / "led"))
+    got = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(str(tmp_path / "led")).collect()
+    }
+    assert got == {1: "kept", 2: "batch_dup", 3: "kept"}
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    ) == [1, 3]
