@@ -28,6 +28,7 @@ import json
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,7 +50,12 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = os.path.join(out_dir, MANIFEST_DIR)
     try:
         return spark.read.schema(_MANIFEST_SCHEMA).parquet(path)
-    except Exception:  # noqa: BLE001 — no manifest yet
+    except AnalysisException as e:
+        # absent manifest (fresh job) → None; anything else (storage
+        # errors, corruption) raises — treating it as "no manifest" would
+        # silently re-run every completed partition of a 100 TB job
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         return None
 
 
