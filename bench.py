@@ -284,8 +284,24 @@ def main() -> int:
     exec_timings: dict[str, float] = {}
     algo_timings: dict[str, float] = {}
     samples: dict[str, list[list[float]]] = {}
-    match_rows = 0
-    for name, make in qs.items():
+    sentinel_walls: list[float] = []
+    last_df: dict = {}
+
+    def _sentinel():
+        # Host-load sentinel (VERDICT r6 #3): the SAME trivial JVM-only
+        # aggregate timed before the first query and after the last — a
+        # fixed-cost yardstick that makes records comparable across
+        # sessions on this jittery host. A 3× spread between the two
+        # sentinel walls marks the whole record as load-polluted.
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, cpus).groupBy(
+            (F.col("id") % 97).alias("k")
+        ).count().write.format("noop").mode("overwrite").save()
+        sentinel_walls.append(round(time.perf_counter() - t0, 3))
+
+    def _run_once(name: str, make) -> None:
         # Build and execution timed separately. Plan construction +
         # Catalyst analysis is a DRIVER-side fixed cost (~15 s for the
         # conflate plan, identical at every parallelism level and input
@@ -295,21 +311,50 @@ def main() -> int:
         # pins) the build phase performs real cluster work, so the
         # build-inclusive wall is ALSO reported (and remains the
         # comparable round-1 definition).
-        samples[name] = []
-        df = None
-        for _ in range(headline_repeats if name == "conflate_join" else repeats):
-            t0 = time.perf_counter()
-            df = make()
-            t1 = time.perf_counter()
-            materialize(df)
-            t2 = time.perf_counter()
-            samples[name].append([round(t2 - t0, 3), round(t2 - t1, 3)])
-            # release fingerprint tables the dedup operators persisted —
-            # otherwise repeated invocations pin |docs|-sized caches for
-            # the rest of the session (ADVICE r4)
-            from osm_addr_tools_spark.operators.dedup import release_persisted_fp
+        t0 = time.perf_counter()
+        df = make()
+        t1 = time.perf_counter()
+        materialize(df)
+        t2 = time.perf_counter()
+        samples.setdefault(name, []).append(
+            [round(t2 - t0, 3), round(t2 - t1, 3)]
+        )
+        last_df[name] = df
+        # release fingerprint tables the dedup operators persisted —
+        # otherwise repeated invocations pin |docs|-sized caches for
+        # the rest of the session (ADVICE r4)
+        from osm_addr_tools_spark.operators.dedup import release_persisted_fp
 
-            release_persisted_fp()
+        release_persisted_fp()
+
+    # VERDICT r6 #3: repeats run INTERLEAVED (round-robin passes over the
+    # whole query set, not back-to-back per query) so one loaded host
+    # window inflates one pass of many queries instead of every repeat of
+    # one query — at repeats=2 back-to-back, a 30 s load burst made two
+    # unchanged dedup queries read as a 1.74× regression in the r6 record.
+    # Queries whose best exec wall still exceeds SLOW_EXEC_SEC after the
+    # base passes get adaptive extra passes (best-of-3): the slow walls
+    # are exactly the ones a single polluted window distorts most.
+    SLOW_EXEC_SEC = 2.0
+    _sentinel()
+    max_passes = max(headline_repeats, repeats, 3)
+    for p in range(max_passes):
+        for name, make in qs.items():
+            want = headline_repeats if name == "conflate_join" else repeats
+            done = len(samples.get(name, []))
+            if p < want:
+                pass  # scheduled base repeat for this pass
+            elif (
+                0 < done < max(want, 3)
+                and min(s[1] for s in samples[name]) > SLOW_EXEC_SEC
+            ):
+                pass  # adaptive extra repeat: still slow after base passes
+            else:
+                continue
+            _run_once(name, make)
+    _sentinel()
+
+    for name in samples:
         timings[name] = min(s[0] for s in samples[name])
         exec_timings[name] = min(s[1] for s in samples[name])
         # VERDICT r4 #3: the third per-query number. For queries whose
@@ -320,36 +365,64 @@ def main() -> int:
         # query's cost. For everything else it is driver-side Catalyst
         # analysis only.
         algo_timings[name] = min(round(s[0] - s[1], 3) for s in samples[name])
-        if name == "conflate_join":
-            # row count for throughput (cheap second pass over cached plan
-            # would skew timings; count separately, not timed)
-            match_rows = df.count()
 
-    headline = exec_timings["conflate_join"]
+    headline = exec_timings.get("conflate_join")
+    # row count for throughput (cheap second pass over cached plan would
+    # skew timings; count separately, not timed)
+    match_rows = (
+        last_df["conflate_join"].count() if "conflate_join" in last_df else 0
+    )
+    # VERDICT r4 #2 / r6 #1: the result line MUST fit the driver's
+    # 2000-char stdout capture. r6 put the three per-query dicts on the
+    # line and at 27 queries it grew to 2704 chars → BENCH_r06.json
+    # parsed: null. The line now carries ONLY headline aggregates + a
+    # pointer; every per-query wall and raw sample lives in detail_file,
+    # and a hard length assert makes the regression impossible to
+    # reintroduce silently.
     out = {
-        # VERDICT r4 #2: r4's result line outgrew the driver's capture
-        # (BENCH_r04.json parsed: null) — keep the final line COMPACT:
-        # short metric, no samples (side file below).
-        "metric": "address-match join exec wall (build/algo walls per query)",
+        "metric": "address-match join exec wall (per-query walls in detail_file)",
         "value": headline,
         "unit": "sec",
-        "queries": timings,
-        "queries_exec": exec_timings,
-        "queries_algo": algo_timings,
         "repeats": repeats,
         "headline_repeats": headline_repeats,
         "sf": sf,
         "n_pages": n_pages,
+        "n_queries": len(qs),
         "match_rows": match_rows,
         "throughput_rows_per_sec": round(match_rows / headline, 1) if headline else None,
         "cpus": cpus,
+        "sentinel_sec": sentinel_walls,
+        "detail_file": "BENCH/SAMPLES_last_run.json",
     }
+    if len(qs) <= 4:
+        # SPARK_GRAFT_BENCH_ONLY subset runs (tools/bench_scaling.py,
+        # tools/bench_trend.py parse queries/queries_exec off the line):
+        # a ≤4-entry dict is ~40 chars/query — nowhere near the cap.
+        out["queries"] = timings
+        out["queries_exec"] = exec_timings
+        out["queries_algo"] = algo_timings
     spark.stop()
-    # raw per-repeat samples go to a side file, NOT the result line
+    # every per-query number goes to the side file, NOT the result line
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SAMPLES_last_run.json", "w") as f:
-        json.dump({"samples": samples, **out}, f, indent=1)
-    print(json.dumps(out))
+        json.dump(
+            {
+                "queries": timings,
+                "queries_exec": exec_timings,
+                "queries_algo": algo_timings,
+                "samples": samples,
+                **out,
+            },
+            f,
+            indent=1,
+        )
+    line = json.dumps(out)
+    assert len(line) < 1800, (
+        f"bench result line is {len(line)} chars — the driver captures only "
+        f"the last 2000 chars of stdout (BENCH_r04/r06 parsed: null); move "
+        f"whatever grew into BENCH/SAMPLES_last_run.json"
+    )
+    print(line)
     return 0
 
 

@@ -277,6 +277,80 @@ def seed_dedup_index(index_df: DataFrame, index_path: str) -> None:
     index_df.write.mode("overwrite").parquet(f"{index_path}/batch_id=seed")
 
 
+def dedup_one_batch(
+    batch_df: DataFrame,
+    batch_id,
+    index_path: str,
+    ledger_path: str,
+    threshold: float = 0.5,
+    **minhash_kw,
+) -> None:
+    """One micro-batch of the incremental dedup stream — module-level so
+    the crash-replay contract is directly testable (re-invoking with the
+    same batch_id must rewrite byte-identical ledger and index
+    partitions). See incremental_dedup_stream for the full contract."""
+    from osm_addr_tools_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    spark = batch_df.sparkSession
+    id_col = minhash_kw.get("id_col", "doc_id")
+    # the subset of the minhash contract build_minhash_index understands —
+    # id_col/text_col INCLUDED (ADVICE r6: dropping them made the kept-join
+    # key and the appended signature construction silently diverge from
+    # the ledger's when the caller overrides either)
+    index_kw = {
+        k: v
+        for k, v in minhash_kw.items()
+        if k in ("id_col", "text_col", "k", "num_perm", "seed")
+    }
+    try:
+        # basePath keeps partition discovery rooted at index_path, so
+        # the directory names surface as a batch_id column (string:
+        # the seed partition is batch_id=seed) the replay guard can
+        # filter on — never the in-flight batch's own partition (a
+        # replay after the index append would otherwise self-match
+        # every kept doc and empty the partition; ADVICE r6, high).
+        idx = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .where(F.col("batch_id").cast("string") != str(batch_id))
+            .select("doc_id", "sig")
+        )
+    except AnalysisException as e:
+        # ONLY a genuinely absent index (unseeded first batch) may fall
+        # back to empty — swallowing storage/corruption errors here
+        # would silently dedupe against NOTHING and admit the whole
+        # batch as 'kept' (an at-scale disaster, not a fallback)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        idx = build_minhash_index(batch_df.limit(0), **index_kw)
+    batch_df = batch_df.persist()  # signature subtree feeds 3 stages
+    try:
+        ledger = incremental_minhash_dedup(
+            batch_df, idx, threshold=threshold, **minhash_kw
+        )
+        ledger.write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+        kept = (
+            spark.read.parquet(f"{ledger_path}/batch_id={batch_id}")
+            .where(F.col("status") == "kept")
+            .select(F.col("doc_id").alias(id_col))
+        )
+        # the appended signatures are built by the SAME construction,
+        # keyed by the SAME id column, as the batch signatures the
+        # ledger was computed from
+        build_minhash_index(
+            batch_df.join(kept, id_col), **index_kw
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+    finally:
+        batch_df.unpersist()
+
+
 def incremental_dedup_stream(
     docs: DataFrame,
     index_path: str,
@@ -308,51 +382,23 @@ def incremental_dedup_stream(
     same deterministic bytes instead of duplicating rows (the S5
     manifest-sink crash-window contract, applied to streaming). Pass
     ``checkpoint`` in production so the engine replays with the SAME
-    batch ids.
+    batch ids. The index read EXCLUDES the in-flight batch's own
+    ``batch_id`` partition (ADVICE r6): a replay of batch N after its
+    index append but before checkpoint commit would otherwise see batch
+    N's own kept signatures, self-match every one of them (identical
+    signature ⇒ estimated Jaccard 1.0), relabel them corpus_dup, and
+    overwrite the index partition EMPTY — silently dropping kept docs
+    from the corpus forever (pytest-pinned: replaying a batch rewrites
+    byte-identical ledger and index partitions).
 
     Returns the finished availableNow query (tests run it to completion).
     """
-    from osm_addr_tools_spark.operators.dedup import (
-        build_minhash_index,
-        incremental_minhash_dedup,
-    )
-
-    spark = docs.sparkSession
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            idx = spark.read.parquet(index_path).select("doc_id", "sig")
-        except AnalysisException as e:
-            # ONLY a genuinely absent index (unseeded first batch) may fall
-            # back to empty — swallowing storage/corruption errors here
-            # would silently dedupe against NOTHING and admit the whole
-            # batch as 'kept' (an at-scale disaster, not a fallback)
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            idx = build_minhash_index(batch_df.limit(0))
-        batch_df = batch_df.persist()  # signature subtree feeds 3 stages
-        try:
-            ledger = incremental_minhash_dedup(
-                batch_df, idx, threshold=threshold, **minhash_kw
-            )
-            ledger.write.mode("overwrite").parquet(
-                f"{ledger_path}/batch_id={batch_id}"
-            )
-            kept = (
-                spark.read.parquet(f"{ledger_path}/batch_id={batch_id}")
-                .where(F.col("status") == "kept")
-                .select("doc_id")
-            )
-            build_minhash_index(
-                batch_df.join(kept, "doc_id"), **{
-                    k: v for k, v in minhash_kw.items()
-                    if k in ("k", "num_perm", "seed")
-                }
-            ).write.mode("overwrite").parquet(
-                f"{index_path}/batch_id={batch_id}"
-            )
-        finally:
-            batch_df.unpersist()
+        dedup_one_batch(
+            batch_df, batch_id, index_path, ledger_path,
+            threshold=threshold, **minhash_kw,
+        )
 
     w = docs.writeStream.foreachBatch(_one_batch).trigger(availableNow=True)
     if checkpoint is not None:

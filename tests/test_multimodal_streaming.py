@@ -441,3 +441,88 @@ def test_incremental_dedup_stream_unseeded_index(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(index_path).collect()
     ) == [1, 3]
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract (ADVICE r6, high): re-invoking a batch with
+    the SAME batch_id — foreachBatch replay after a crash between the
+    index append and the checkpoint commit — must rewrite identical
+    ledger and index partitions. Before the in-flight-partition guard,
+    the replay read the batch's OWN appended signatures, self-matched
+    every kept doc (identical signature => Jaccard 1.0), relabeled them
+    corpus_dup and overwrote the index partition EMPTY — silently losing
+    kept docs from the corpus forever."""
+    from osm_addr_tools_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the mill")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # dup of the seed corpus -> corpus_dup both times
+            (101, "the quick brown fox jumps over the lazy dog near the mill"),
+            # novel -> kept both times; its index row must SURVIVE replay
+            (102, "novel payload alpha bravo charlie delta echo foxtrot golf"),
+        ],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    ledger_path = str(tmp_path / "led")
+    ST.seed_dedup_index(D.build_minhash_index(corpus), index_path)
+
+    def snapshot():
+        led = {
+            r.doc_id: r.status
+            for r in spark.read.parquet(ledger_path).collect()
+        }
+        idx = sorted(
+            (r.doc_id, tuple(r.sig))
+            for r in spark.read.parquet(index_path).select("doc_id", "sig").collect()
+        )
+        return led, idx
+
+    ST.dedup_one_batch(batch, 0, index_path, ledger_path)
+    first = snapshot()
+    assert first[0] == {101: "corpus_dup", 102: "kept"}
+    assert [i for i, _ in first[1]] == [1, 102]
+
+    # the replay: same batch, same batch_id, index already extended
+    ST.dedup_one_batch(batch, 0, index_path, ledger_path)
+    assert snapshot() == first
+
+
+def test_incremental_dedup_batch_custom_id_text_cols(spark, tmp_path):
+    """id_col/text_col overrides must flow through to the kept-join and
+    the index append (ADVICE r6): before the fix the append filtered the
+    overrides out and joined on a hard-coded 'doc_id', so a renamed id
+    column crashed or appended wrong columns."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the mill")],
+        "page_id long, body string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the mill"),
+            (102, "novel payload alpha bravo charlie delta echo foxtrot golf"),
+        ],
+        "page_id long, body string",
+    )
+    from osm_addr_tools_spark.operators import dedup as D
+
+    index_path = str(tmp_path / "idx")
+    ledger_path = str(tmp_path / "led")
+    ST.seed_dedup_index(
+        D.build_minhash_index(corpus, id_col="page_id", text_col="body"),
+        index_path,
+    )
+    ST.dedup_one_batch(
+        batch, 0, index_path, ledger_path, id_col="page_id", text_col="body"
+    )
+    led = {
+        r.doc_id: r.status for r in spark.read.parquet(ledger_path).collect()
+    }
+    assert led == {101: "corpus_dup", 102: "kept"}
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    ) == [1, 102]
