@@ -999,30 +999,42 @@ def remove_boilerplate_lines(
     whose every line is boilerplate keeps an EMPTY string (the row is
     never dropped — downstream length/quality filters decide its fate).
 
+    Empty / whitespace-only lines are STRUCTURAL (paragraph separators,
+    not content) and are exempt from the frequency threshold (ADVICE r6):
+    in any corpus with ≥ min_docs multi-paragraph documents the empty
+    line is trivially "hot", and deleting it would collapse every
+    paragraph break in the corpus — the same exemption dedup_paragraphs
+    makes. Bypassing them BEFORE the shuffles also removes the corpus's
+    single hottest key ("") from both the distinct and the anti-join.
+
     Scale shape (one corpus-sized shuffle + per-doc regroup, no windows):
-    posexplode(split) → distinct (line, doc) — map-side partial dedup —
-    → per-line distinct-doc count (hash agg) → hot-line table (tiny: the
-    lines ABOVE the threshold) anti-joined back on the raw line value
-    (AQE decides broadcast vs shuffle — the hot-line table grows with
-    the corpus, so never force-broadcast; a mega-hot line's fan-in on
-    the anti-join shuffle is AQE skew-split territory) → groupBy doc,
-    sort collected (pos, line) structs, rejoin to the input id set so
-    all-boilerplate docs survive as empty. Joining on the raw line (not
-    a 64-bit line hash) is deliberate: a hash collision would silently
-    delete an innocent line; exactness is worth the wider shuffle key.
+    posexplode(split) → structural-line bypass → distinct (line, doc) —
+    map-side partial dedup — → per-line distinct-doc count (hash agg) →
+    hot-line table (tiny: the lines ABOVE the threshold) anti-joined back
+    on the raw line value (AQE decides broadcast vs shuffle — the
+    hot-line table grows with the corpus, so never force-broadcast; a
+    mega-hot line's fan-in on the anti-join shuffle is AQE skew-split
+    territory) → groupBy doc, sort collected (pos, line) structs, rejoin
+    to the input id set so all-boilerplate docs survive as empty. Joining
+    on the raw line (not a 64-bit line hash) is deliberate: a hash
+    collision would silently delete an innocent line; exactness is worth
+    the wider shuffle key.
     """
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
+    is_content = F.trim(F.col("line")) != ""
+    content = lines.where(is_content)
+    structural = lines.where(~is_content)
     freq = (
-        lines.select(id_col, "line")
+        content.select(id_col, "line")
         .distinct()
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("_nd"))
     )
     hot = freq.where(F.col("_nd") >= min_docs).select("line")
-    kept = lines.join(hot, "line", "left_anti")
+    kept = content.join(hot, "line", "left_anti").unionByName(structural)
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

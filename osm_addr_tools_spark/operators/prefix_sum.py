@@ -95,7 +95,12 @@ def _resolve_bucket(df: DataFrame, order_col: str, num_buckets: int, boundaries)
         boundaries = auto_boundaries(df, order_col, num_buckets)
 
     if boundaries is not None:
-        bucket = _boundary_bucket(key, boundaries)
+        # compare against the DOUBLE view of the key (ADVICE r6): the
+        # boundary literals are doubles (approxQuantile sketches the
+        # double-cast key), so a raw timestamp/date key would miscast or
+        # fail under ANSI — the same view the uniform path already uses,
+        # and double casting is monotone, which is all bucketing needs
+        bucket = _boundary_bucket(key.cast("double"), boundaries)
     else:
         # min/max over the DOUBLE view of the key: keeps the driver-side
         # arithmetic type-free (timestamps become epoch seconds, ints/

@@ -1456,6 +1456,9 @@ _RARELINE = "limited-edition footer only two pages share"
                 ELSE '' END
         || CASE WHEN doc_id % 7 = 2 THEN chr(10) || '{_BOILER2}' ELSE '' END
         || CASE WHEN doc_id % 250 = 1 THEN chr(10) || '{_RARELINE}' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || chr(10) || 'second-para-' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
         AS text
       FROM documents
     ),
@@ -1464,7 +1467,10 @@ _RARELINE = "limited-edition footer only two pages share"
       FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
     ),
     freq AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
-    kept AS (SELECT doc_id, ord, line FROM lines JOIN freq USING (line) WHERE nd < 3)
+    kept AS (
+      SELECT doc_id, ord, line FROM lines JOIN freq USING (line)
+      WHERE nd < 3 OR trim(line) = ''
+    )
     SELECT c.doc_id, COALESCE(r.clean_text, '') AS clean_text
     FROM corpus c LEFT JOIN (
       SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text
@@ -1475,15 +1481,20 @@ _RARELINE = "limited-edition footer only two pages share"
 def docs_boilerplate_removal(spark, sf_dir):
     """C4-style corpus-level boilerplate LINE removal (r6; the intra-page
     dedup pass): delete every line occurring byte-equal in ≥3 distinct
-    docs, reassemble the rest in original order. Planted corpus: a
+    docs, reassemble the rest in original order. Empty / whitespace-only
+    lines are structural and EXEMPT from the threshold (ADVICE r6) — the
+    empty line is trivially hot in any multi-paragraph corpus and
+    removing it would collapse every paragraph break. Planted corpus: a
     cookie-banner line on 1/5 of docs FOLLOWED by a unique per-doc
     signature line (removal must excise the middle line and keep order),
-    a second banner on 1/7, and a line shared by exactly TWO docs that
-    must SURVIVE the threshold. Implementation:
-    operators.dedup.remove_boilerplate_lines (posexplode → distinct
-    (line,doc) → per-line doc count → AQE-decided anti-join on the raw
-    line → per-doc ordered reassembly; all-boilerplate docs come back as
-    empty strings, never dropped)."""
+    a second banner on 1/7, a line shared by exactly TWO docs that must
+    SURVIVE the threshold, and a blank-line-separated second paragraph on
+    1/3 of docs whose separator must survive despite being the hottest
+    line in the corpus. Implementation:
+    operators.dedup.remove_boilerplate_lines (posexplode → structural
+    bypass → distinct (line,doc) → per-line doc count → AQE-decided
+    anti-join on the raw line → per-doc ordered reassembly;
+    all-boilerplate docs come back as empty strings, never dropped)."""
     from osm_addr_tools_spark.operators.dedup import remove_boilerplate_lines
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1499,6 +1510,10 @@ def docs_boilerplate_removal(spark, sf_dir):
         ).otherwise(""),
         F.when(F.col("doc_id") % 7 == 2, F.lit("\n" + _BOILER2)).otherwise(""),
         F.when(F.col("doc_id") % 250 == 1, F.lit("\n" + _RARELINE)).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\n\nsecond-para-"), F.col("doc_id").cast("string")),
+        ).otherwise(""),
     )
     corpus = d.select("doc_id", t.alias("text"))
     return remove_boilerplate_lines(corpus, min_docs=3)

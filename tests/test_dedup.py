@@ -902,3 +902,27 @@ def test_incremental_dedup_consistent_with_batch_family(spark):
     }
     assert got == want
     assert set(want.values()) == {"corpus_dup", "batch_dup", "kept"}
+
+
+def test_remove_boilerplate_lines_blank_lines_structural(spark):
+    """ADVICE r6: empty / whitespace-only lines are paragraph separators,
+    not content — even when they occur in >= min_docs docs (they always
+    do in a multi-paragraph corpus) they must survive in EVERY document,
+    mirroring dedup_paragraphs' structural-line exemption."""
+    rows = [
+        (1, "para one\n\npara two"),
+        (2, "intro\n\nBANNER\n\noutro"),
+        (3, "BANNER\n\nunique three"),
+        (4, "BANNER\n \nunique four"),  # whitespace-only separator
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in D.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: "para one\n\npara two",
+        2: "intro\n\n\noutro",
+        3: "\nunique three",
+        4: " \nunique four",
+    }

@@ -243,3 +243,25 @@ def test_grouped_row_number_guards(spark):
     )
     with pytest.raises(ValueError, match="group column"):
         grouped_row_number(null_group, "g", "k")
+
+
+def test_running_sum_auto_boundaries_timestamp_key(spark):
+    """ADVICE r6: boundaries='auto' sketches the DOUBLE view of the key,
+    so the bucket filter must also compare the double view — a raw
+    timestamp key would miscast or fail under ANSI. The running sum over
+    a timestamp order key must match the single-window reference."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=i * 7 % 101), i % 5 - 2)
+        for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v long").repartition(8)
+    got = running_sum(df, "ts", "v", out_col="r", num_buckets=8, boundaries="auto")
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("r", F.sum("v").over(w))
+    assert {(r.ts, r.v, r.r) for r in got.collect()} == {
+        (r.ts, r.v, r.r) for r in want.collect()
+    }
