@@ -1775,9 +1775,10 @@ _SPAN_CROSS = (
 )  # 14 tokens ≥ k: every planted doc carries all its internal 8-grams
 
 
-@q(
-    "docs_dup_spans",
-    f"""
+# the dup-spans CTE chain, shared by docs_dup_spans (the worklist) and
+# docs_spans_applied (the rewrite): planted corpus -> tokens -> positioned
+# 8-grams -> duplicated grams -> hit windows -> gaps-and-islands merge
+_SPAN_CHAIN_SQL = f"""
     WITH corpus AS (
       SELECT doc_id,
         text
@@ -1818,6 +1819,34 @@ _SPAN_CROSS = (
         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s) AS isl
       FROM flagged
     )
+"""
+
+
+def _span_corpus(spark, sf_dir):
+    """The planted dup-spans corpus (Spark side of _SPAN_CHAIN_SQL's
+    corpus CTE): a 14-token licensing sentence shared by 1/13 of docs
+    plus a doc-id-salted 9-token phrase appended TWICE to 1/29 of docs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    self_phrase = F.concat(
+        F.lit(" alpha bravo charlie delta echo foxtrot golf hotel "),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 3, F.lit(" " + _SPAN_CROSS)).otherwise(""),
+            F.when(
+                F.col("doc_id") % 29 == 5, F.concat(self_phrase, self_phrase)
+            ).otherwise(""),
+        ).alias("text"),
+    )
+
+
+@q(
+    "docs_dup_spans",
+    _SPAN_CHAIN_SQL
+    + """
     SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
            CAST(COUNT(*) AS BIGINT) AS n_grams
     FROM isl GROUP BY doc_id, isl
@@ -1842,22 +1871,59 @@ def docs_dup_spans(spark, sf_dir):
     docs — never a global window)."""
     from osm_addr_tools_spark.operators.spans import duplicated_spans
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    self_phrase = F.concat(
-        F.lit(" alpha bravo charlie delta echo foxtrot golf hotel "),
-        F.col("doc_id").cast("string"),
+    return duplicated_spans(_span_corpus(spark, sf_dir), k=8)
+
+
+@q(
+    "docs_spans_applied",
+    _SPAN_CHAIN_SQL
+    + """
+    , sp AS (
+      SELECT doc_id, MIN(s) AS ss, MAX(e) AS ee
+      FROM isl GROUP BY doc_id, isl
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS idx, t[i] AS tk, len(t) AS n
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM tok)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.idx, k.tk FROM toks k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sp
+        WHERE sp.doc_id = k.doc_id AND sp.ss <= k.idx AND k.idx < sp.ee
+      )
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(t) AS n FROM tok)
+    SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def docs_spans_applied(spark, sf_dir):
+    """The span-removal APPLIER (VERDICT r6 missing #2): cut every
+    duplicated-substring interval the ExactSubstr pass reported from the
+    same planted corpus as docs_dup_spans, and reassemble each document's
+    surviving normalized tokens — worklist → rewrite, end to end. Docs
+    outside the worklist pass through (n_removed = 0); the doc-id-salted
+    double phrase on 1/29 of docs pins span-at-end removal, the shared
+    licensing sentence on 1/13 pins mid-doc excision with order kept.
+    Implementation: operators.spans.apply_span_removals — per-doc span
+    aggregation, ONE id equi-join, then a filter-with-index × exists
+    higher-order Column (whole-stage codegen, zero Python, zero
+    windows)."""
+    from osm_addr_tools_spark.operators.spans import (
+        apply_span_removals,
+        duplicated_spans,
     )
-    corpus = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 13 == 3, F.lit(" " + _SPAN_CROSS)).otherwise(""),
-            F.when(
-                F.col("doc_id") % 29 == 5, F.concat(self_phrase, self_phrase)
-            ).otherwise(""),
-        ).alias("text"),
-    )
-    return duplicated_spans(corpus, k=8)
+
+    corpus = _span_corpus(spark, sf_dir)
+    return apply_span_removals(corpus, duplicated_spans(corpus, k=8))
 
 
 @q(
@@ -2057,6 +2123,108 @@ def docs_mixing_weights(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
     )
     return mix_weights_sqrt(d, ["lang", "source"], "n_tok")
+
+
+_EPOCH = 1
+_EPOCH_TOKENS = 6000  # ≈ 0.22 × the sf0.01 corpus: strata straddle rate=1
+
+
+def _mix_epoch_oracle_sql() -> str:
+    from osm_addr_tools_spark.operators.sampling import (
+        feistel_shuffle_key_sql,
+        fib_bucket_sql,
+    )
+
+    b = fib_bucket_sql("doc_id", 1_000_000)
+    ex = feistel_shuffle_key_sql("(doc_id * 64 + copy)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY lang, source
+    ),
+    i AS (
+      SELECT lang, source, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isqrt_tokens
+      FROM g
+    ),
+    t AS (SELECT CAST(greatest(SUM(isqrt_tokens), 1) AS BIGINT) AS tot FROM i),
+    w AS (
+      SELECT lang, source, n_tokens,
+             CAST(isqrt_tokens * 1000000 // tot AS BIGINT) AS weight_ppm
+      FROM i CROSS JOIN t
+    ),
+    c AS (
+      SELECT lang, source,
+        CAST((CAST(weight_ppm AS HUGEINT) * {_EPOCH_TOKENS})
+             // (CAST(n_tokens AS HUGEINT) * 1000000) AS BIGINT) AS full_copies,
+        CAST((((CAST(weight_ppm AS HUGEINT) * {_EPOCH_TOKENS})
+               % (CAST(n_tokens AS HUGEINT) * 1000000)) * 1000000)
+             // (CAST(n_tokens AS HUGEINT) * 1000000) AS BIGINT) AS extra_ppm
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, d.lang, d.source, full_copies, extra_ppm,
+             ({_EPOCH} * extra_ppm) % 1000000 AS rot_start,
+             {b} AS b
+      FROM d JOIN c USING (lang, source)
+    ),
+    k AS (
+      SELECT doc_id, lang, source,
+        full_copies
+        + CASE WHEN ((b + 1000000 - rot_start) % 1000000) < extra_ppm
+               THEN 1 ELSE 0 END AS copies
+      FROM e
+    ),
+    x AS (
+      SELECT doc_id, lang, source,
+             unnest(generate_series(0, copies - 1)) AS copy
+      FROM k WHERE copies > 0
+    )
+    SELECT {ex} AS example_id, doc_id, CAST(copy AS BIGINT) AS copy,
+           lang, source
+    FROM x
+    """
+
+
+@q("docs_mix_epoch", _mix_epoch_oracle_sql())
+def docs_mix_epoch(spark, sf_dir):
+    """Epoch mixture materialization (VERDICT r6 missing #1): apply the
+    UniMax α=½ weights to the corpus for one training epoch with a
+    6000-token budget — per (lang, source) stratum every doc gets
+    floor(rate) guaranteed copies plus one extra iff its Fibonacci bucket
+    falls in the epoch's ROTATING ppm window (consecutive epochs pick
+    adjacent, disjoint fractional slices), rate = weight_ppm ×
+    epoch_tokens / (1e6 × stratum tokens). The budget is ≈0.22× the
+    sf0.01 corpus, so strata straddle rate = 1: big strata downsample
+    (copies ∈ {0,1}) while small sqrt-flattened strata upsample (≥2
+    copies) in the SAME run. Every emitted copy gets a collision-free
+    example_id via the Feistel bijection over (doc_id, copy). All
+    arithmetic integer-exact end to end (driver-side Python bigints ≡
+    DuckDB HUGEINT). Implementation: operators.sampling.mix_epoch — one
+    bounded weights collect, one broadcast join of #strata constant
+    rows, pure Column math, explode(sequence(...)); no shuffle, no
+    window, no data-sized join."""
+    from osm_addr_tools_spark.operators.sampling import mix_epoch, mix_weights_sqrt
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = mix_weights_sqrt(d, ["lang", "source"], "n_tok")
+    return mix_epoch(
+        d.select("doc_id", "lang", "source"),
+        w,
+        epoch=_EPOCH,
+        epoch_tokens=_EPOCH_TOKENS,
+        group_cols=["lang", "source"],
+    )
 
 
 def _shuffle_oracle_sql() -> str:
@@ -3114,12 +3282,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # falling off the end, if any, are redundant SECOND gates of operator
 # families that keep another hash-green row — never a family's only gate.
 _REGISTRY_TAIL = [
+    # GATE-HYGIENE RULE (VERDICT r6 #2): a query whose kernel changed in
+    # the current round must NOT sit in this tail — the driver's 50-query
+    # cap would leave the changed code without a driver-oracle row under
+    # its own name for a full round (docs_split_assign's r6 overflow fix
+    # shipped driver-unverified that way; promoted back for r7).
     # ordered most-valuable-first: a cap drops from the very END
     # -- r6 demotions (each hash-green in CORRECTNESS_r05; demoted because a
     #    sibling gate keeps the same kernel driver-verified) --
     "emb_ann_ivf_top3",            # ANN family keeps emb_ann_lsh_top3 as its primary gate
     "docs_fingerprint",            # trivial sha256 pass-through; winnow/exact-dup gates hash kernels
-    "docs_split_assign",           # sampling.fib_bucket kept driver-gated by docs_stratified_sample
+    # -- r7 demotions (each hash-green in CORRECTNESS_r06; kernels untouched
+    #    this round, siblings keep the families driver-verified) --
+    "docs_top_terms",              # heavy-hitter/top-k family keeps heavy_hitter_event_types; token split shared with shards/pack gates
+    "docs_quality_ascii",          # quality family keeps docs_quality_classifier (+ filter-stream parity pytests)
+    "docs_token_stats",            # token counting exercised inside docs_token_shards / docs_pack_assign / docs_mix_epoch oracles
     "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention
     "tile_assignments",            # C4 cover kept gated by tile_untile_roundtrip + tile_cover_superset
     "nation_customer_segments",    # A2 distinct-counting exercised inside boilerplate/decontam oracles

@@ -134,3 +134,68 @@ def test_spans_disjoint_and_min_length(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1  # strictly separated: touching spans merge
+
+
+# --- apply_span_removals (the rewrite step, VERDICT r6 missing #2) ----------
+
+
+def test_apply_span_removals_goldens(spark):
+    """Boundary goldens: adjacent spans merge their cuts, span-at-end,
+    whole-doc span -> empty string (doc never dropped), worklist-free doc
+    passes through with n_removed = 0, and coordinates are in the
+    normalized (lowercase TOKEN_RE) token space."""
+    from osm_addr_tools_spark.operators.spans import apply_span_removals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "Keep, ALL of this!"),
+            (3, "q r s t"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 1, 3), (1, 3, 5), (1, 7, 8),  # adjacent cuts + span-at-end
+            (3, 0, 4),                          # whole-doc span
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in apply_span_removals(docs, spans).collect()
+    }
+    assert got == {
+        1: ("a f g", 5),
+        2: ("keep all of this", 0),
+        3: ("", 4),
+        4: ("", 0),
+    }
+
+
+def test_apply_span_removals_roundtrip_with_duplicated_spans(spark):
+    """End-to-end: after applying duplicated_spans' own worklist, NO
+    duplicated k-gram may survive anywhere in the rewritten corpus (the
+    fixed point of ExactSubstr: every dup span got cut)."""
+    from osm_addr_tools_spark.operators.spans import apply_span_removals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta unique two"),
+            (3, "self copy self copy self copy self copy tail"),
+            (4, "completely independent document with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=K)
+    clean = apply_span_removals(docs, spans).withColumnRenamed(
+        "clean_text", "text"
+    )
+    assert duplicated_spans(clean.select("doc_id", "text"), k=K).count() == 0
+    untouched = {
+        r.doc_id: r.n_removed
+        for r in apply_span_removals(docs, spans).collect()
+    }
+    assert untouched[4] == 0
