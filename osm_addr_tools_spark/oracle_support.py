@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 # bump to invalidate previously materialized intermediates
-_VERSION = 6
+_VERSION = 7
 
 EMB_DIM = 64
 ANN_N_PLANES = 6
@@ -361,6 +361,48 @@ def _ivf_buckets(sf_dir: str, n_centroids: int = 16, n_probe: int = 3,
     return qb, cb
 
 
+BPE_N_MERGES = 200
+BPE_MAX_VOCAB = 50_000
+
+
+def _bpe_counts_pdf(sf_dir: str) -> pd.DataFrame:
+    """Per-doc BPE token counts under merges learned from the SAME corpus
+    — pure pandas twin of queries.docs_bpe_token_stats' Spark plan, built
+    from the shared scalar kernels (functions.tokenize.learn_bpe /
+    bpe_encode), including the deterministic (-count, word) top-V
+    truncation learn_bpe_from_df applies."""
+    import re
+
+    from osm_addr_tools_spark.functions.tokenize import (
+        bpe_encode,
+        learn_bpe,
+        merges_to_ranks,
+    )
+    from osm_addr_tools_spark.operators.decontam import TOKEN_RE
+
+    d = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    word_re = re.compile(TOKEN_RE)
+    docs_words = [word_re.findall((t or "").lower()) for t in d.text]
+    counts: dict[str, int] = {}
+    for ws in docs_words:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_VOCAB]
+    ranks = merges_to_ranks(learn_bpe(dict(top), BPE_N_MERGES))
+    cache: dict[str, int] = {}
+    n_tok = []
+    for ws in docs_words:
+        for w in ws:
+            if w not in cache:
+                cache[w] = len(bpe_encode(w, ranks))
+        n_tok.append(sum(cache[w] for w in ws))
+    return pd.DataFrame(
+        {"doc_id": d.doc_id, "n_tok_bpe": pd.Series(n_tok, dtype="int64")}
+    )
+
+
 def _assert_ascii_docs(docs: pd.DataFrame) -> None:
     """The docs_lang_id oracle replicates Python unicode tokenization with
     RE2 ``[a-z]+`` — an equivalence that holds ONLY for ASCII text. Fail
@@ -449,6 +491,10 @@ def ensure(sf_dir: str) -> str:
     iq, ic = _ivf_buckets(sf_dir)
     iq.to_parquet(os.path.join(out, "ivf_q_lists.parquet"), index=False)
     ic.to_parquet(os.path.join(out, "ivf_c_lists.parquet"), index=False)
+
+    _bpe_counts_pdf(sf_dir).to_parquet(
+        os.path.join(out, "bpe_counts.parquet"), index=False
+    )
 
     with open(os.path.join(out, marker_name), "w") as f:
         f.write("ok")

@@ -2227,6 +2227,53 @@ def docs_mix_epoch(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql() -> str:
+    from osm_addr_tools_spark import oracle_support as _OSb
+
+    odir = _OSb.oracle_dir(_OSb.ORACLE_SF_DIR)
+    return f"""
+    SELECT d.doc_id,
+           CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tok_word,
+           b.n_tok_bpe
+    FROM documents d
+    JOIN read_parquet('{odir}/bpe_counts.parquet') b USING (doc_id)
+    """
+
+
+@q("docs_bpe_token_stats", _bpe_oracle_sql())
+def docs_bpe_token_stats(spark, sf_dir):
+    """Tokenizer-TRUE token counts (VERDICT r6 #7): learn a 200-merge BPE
+    tokenizer from the corpus itself (Sennrich et al. 2016 — one
+    map-side-combined word count, a bounded deterministic top-V collect,
+    a driver-side pure-Python merge fold) and count every document's
+    subword tokens with an Arrow-batched UDF that encodes each DISTINCT
+    word once per batch. The n_tok_bpe column is the drop-in producer for
+    packing / chunking / token-sharding / mixture-weight n_tok inputs,
+    replacing whitespace-word approximations. Oracle: bit-identical
+    counts materialized pure-pandas from the SAME shared scalar kernels
+    (oracle_support._bpe_counts_pdf) — the established shared-kernel
+    gating policy; the Spark side is gated end to end (word-count agg,
+    truncation order, Arrow batching, UDF schema)."""
+    from osm_addr_tools_spark.functions.tokenize import (
+        bpe_token_count,
+        learn_bpe_from_df,
+    )
+    from osm_addr_tools_spark.oracle_support import BPE_MAX_VOCAB, BPE_N_MERGES
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe_from_df(
+        docs, n_merges=BPE_N_MERGES, max_vocab=BPE_MAX_VOCAB
+    )
+    return bpe_token_count(docs, merges).select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_tok_word"),
+        "n_tok_bpe",
+    )
+
+
 def _shuffle_oracle_sql() -> str:
     from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key_sql
 
@@ -3297,6 +3344,7 @@ _REGISTRY_TAIL = [
     "docs_top_terms",              # heavy-hitter/top-k family keeps heavy_hitter_event_types; token split shared with shards/pack gates
     "docs_quality_ascii",          # quality family keeps docs_quality_classifier (+ filter-stream parity pytests)
     "docs_token_stats",            # token counting exercised inside docs_token_shards / docs_pack_assign / docs_mix_epoch oracles
+    "geo_customer_clusters",       # composition query: its band join is gated by geo_knn_nearest_supplier, its CC by dedup_minhash_components
     "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention
     "tile_assignments",            # C4 cover kept gated by tile_untile_roundtrip + tile_cover_superset
     "nation_customer_segments",    # A2 distinct-counting exercised inside boilerplate/decontam oracles

@@ -526,3 +526,65 @@ def test_incremental_dedup_batch_custom_id_text_cols(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(index_path).collect()
     ) == [1, 102]
+
+
+def test_ingest_batches_resumable(spark, tmp_path):
+    """S5-wired incremental dedup (VERDICT r6 #8): a killed multi-crawl
+    ingest resumed with the same args skips completed batches (0
+    recompute), replays at most the in-flight one idempotently, and the
+    final ledger/index equal an uninterrupted run's."""
+    from osm_addr_tools_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the mill")],
+        "doc_id long, text string",
+    )
+    batches = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the mill", 0),
+            (102, "novel payload alpha bravo charlie delta echo foxtrot golf", 0),
+            (201, "novel payload alpha bravo charlie delta echo foxtrot golf", 1),
+            (202, "entirely unrelated sentence about distributed prefix sums", 1),
+            (301, "entirely unrelated sentence about distributed prefix sums", 2),
+        ],
+        "doc_id long, text string, batch_id long",
+    )
+
+    def fresh(root):
+        ip, lp = str(root / "idx"), str(root / "led")
+        ST.seed_dedup_index(D.build_minhash_index(corpus), ip)
+        return ip, lp
+
+    # uninterrupted reference run
+    ip_ref, lp_ref = fresh(tmp_path / "ref")
+    s = ST.ingest_batches_resumable(batches, ip_ref, lp_ref)
+    assert s == {"planned": 3, "skipped": 0, "written": 3, "rows": 5}
+    want_ledger = {
+        r.doc_id: r.status for r in spark.read.parquet(lp_ref).collect()
+    }
+    assert want_ledger == {
+        101: "corpus_dup", 102: "kept",
+        201: "corpus_dup", 202: "kept",   # cross-batch state
+        301: "corpus_dup",
+    }
+
+    # "killed" run: batch 0 completed + manifested, batch 1 crashed AFTER
+    # its writes but BEFORE the manifest append (the crash window)
+    ip, lp = fresh(tmp_path / "crash")
+    ST.ingest_batches_resumable(batches.where("batch_id = 0"), ip, lp)
+    ST.dedup_one_batch(batches.where("batch_id = 1").drop("batch_id"), 1, ip, lp)
+    s2 = ST.ingest_batches_resumable(batches, ip, lp)
+    assert s2["skipped"] == 1 and s2["written"] == 2  # batch 0 never rerun
+    got_ledger = {r.doc_id: r.status for r in spark.read.parquet(lp).collect()}
+    assert got_ledger == want_ledger
+    got_idx = sorted(
+        r.doc_id for r in spark.read.parquet(ip).select("doc_id").collect()
+    )
+    want_idx = sorted(
+        r.doc_id for r in spark.read.parquet(ip_ref).select("doc_id").collect()
+    )
+    assert got_idx == want_idx == [1, 102, 202]
+
+    # config change invalidates resume
+    s3 = ST.ingest_batches_resumable(batches, ip, lp, threshold=0.7)
+    assert s3["skipped"] == 0 and s3["written"] == 3

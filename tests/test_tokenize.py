@@ -1,0 +1,101 @@
+"""BPE tokenizer kernels (functions/tokenize.py) — Sennrich et al. 2016
+merge learning + greedy encoding, pinned by the paper's own toy corpus,
+plus Spark/pure-Python parity of the distributed count path."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_addr_tools_spark.functions.tokenize import (
+    bpe_count_batch,
+    bpe_encode,
+    bpe_token_count,
+    learn_bpe,
+    learn_bpe_from_df,
+    merges_to_ranks,
+)
+
+
+def test_learn_bpe_sennrich_toy():
+    """The paper's §3.2 example: {low:5, lower:2, newest:6, widest:3} —
+    the first merges must fuse the frequent 'es'/'est' suffix."""
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(counts, 4)
+    assert merges[0] == ("e", "s")          # 9 occurrences, most frequent
+    assert merges[1] == ("es", "t")         # then 'es'+'t'
+    assert merges[2] == ("est", "</w>")     # suffix fuses to end-of-word
+    ranks = merges_to_ranks(merges[:3])  # only the suffix merges
+    assert bpe_encode("newest", ranks)[-1] == "est</w>"
+    assert bpe_encode("lowest", ranks)[-1] == "est</w>"  # generalizes
+    # with enough merges the frequent whole word fuses to ONE token
+    full = merges_to_ranks(learn_bpe(counts, 12))
+    assert bpe_encode("newest", full) == ["newest</w>"]
+
+
+def test_bpe_encode_determinism_and_unknowns():
+    merges = learn_bpe({"aaab": 10, "aab": 5}, 6)
+    ranks = merges_to_ranks(merges)
+    # unknown characters fall through as single symbols, never crash
+    toks = bpe_encode("zzz", ranks)
+    assert toks == ["z", "z", "z", "</w>"] or toks[-1] == "</w>"
+    # encoding is a pure function
+    assert bpe_encode("aaab", ranks) == bpe_encode("aaab", ranks)
+    # empty word edge
+    assert bpe_encode("", ranks) == ["</w>"]
+
+
+def test_bpe_count_batch_matches_per_word_encode():
+    counts = {"hello": 4, "help": 3, "world": 5}
+    ranks = merges_to_ranks(learn_bpe(counts, 8))
+    texts = pd.Series(["Hello world", "help HELP hello", "", None, "zz9 zz9"])
+    got = bpe_count_batch(texts, ranks)
+
+    def one(t):
+        import re
+
+        return sum(
+            len(bpe_encode(w, ranks))
+            for w in re.findall("[a-z0-9]+", (t or "").lower())
+        )
+
+    assert list(got) == [one(t) for t in texts]
+
+
+def test_bpe_spark_matches_pure_python(spark):
+    """The full distributed path (word-count agg -> bounded collect ->
+    merge fold -> Arrow-batched count) must equal a single-process
+    pure-Python run on the same rows."""
+    import re
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quicker browner foxes jump over lazier dogs"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "the the the quick quick brown"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    merges = learn_bpe_from_df(df, n_merges=30)
+
+    counts: dict[str, int] = {}
+    for _, t in rows:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    top = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])))
+    assert merges == learn_bpe(top, 30)
+
+    ranks = merges_to_ranks(merges)
+    got = {
+        r.doc_id: r.n_tok_bpe for r in bpe_token_count(df, merges).collect()
+    }
+    want = {
+        i: sum(len(bpe_encode(w, ranks)) for w in re.findall("[a-z0-9]+", t.lower()))
+        for i, t in rows
+    }
+    assert got == want
+    # BPE compresses: token count <= character count, >= word count
+    for i, t in rows:
+        ws = re.findall("[a-z0-9]+", t.lower())
+        if ws:
+            assert len(ws) <= got[i] <= sum(len(w) + 1 for w in ws)
