@@ -184,6 +184,14 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         "docs_paragraph_dedup": lambda: Q.QUERIES["docs_paragraph_dedup"](spark, sf_dir),
         "docs_shuffle_order": lambda: Q.QUERIES["docs_shuffle_order"](spark, sf_dir),
         "docs_incremental_dedup": lambda: Q.QUERIES["docs_incremental_dedup"](spark, sf_dir),
+        # r7: tokenizer-true token counts (corpus-learned BPE — driver
+        # merge fold + Arrow-batched distinct-word encode) and the
+        # capstone composition: the full preprocessing pipeline (dedup →
+        # decontaminate → quality → BPE → pack → Feistel shuffle) ending
+        # in the training manifest. CC + the BPE merge fold run eagerly
+        # at build — read the build-inclusive algo column
+        "docs_bpe_token_stats": lambda: Q.QUERIES["docs_bpe_token_stats"](spark, sf_dir),
+        "docs_training_manifest": lambda: Q.QUERIES["docs_training_manifest"](spark, sf_dir),
     }
 
 

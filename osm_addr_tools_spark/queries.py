@@ -2458,12 +2458,21 @@ def _docs_with_planted(spark, sf_dir):
     return d.unionByName(near).unionByName(exact)
 
 
-def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _minhash_oracle_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    sig_where: str = "TRUE",
+) -> str:
     """Banding candidate generation + agreement verify over the
     materialized signatures. DuckDB list slices are 1-based inclusive;
     band i is sig[4i+1 : 4i+4]. Bucket hashing is irrelevant to the
     result — bucket equality == slice equality (modulo negligible 64-bit
-    collisions), so the oracle compares slices directly."""
+    collisions), so the oracle compares slices directly. ``sig_where``
+    restricts the corpus (pair generation commutes with per-doc
+    restriction: signatures and band slices are per-doc, so subset pairs
+    == full-set pairs with both endpoints in the subset — the same
+    restriction the Spark side applies by passing a filtered corpus)."""
     rpb = num_perm // bands
     band_eq = " OR ".join(
         f"x.sig[{i * rpb + 1}:{(i + 1) * rpb}] = y.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
@@ -2476,8 +2485,10 @@ def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16, threshold: float = 
     return f"""
     SELECT a, b, round(agree / {num_perm}.0, 6) AS est_jaccard FROM (
       SELECT x.doc_id AS a, y.doc_id AS b, ({agree}) AS agree
-      FROM read_parquet('{ODIR}/minhash_sigs.parquet') x
-      JOIN read_parquet('{ODIR}/minhash_sigs.parquet') y
+      FROM (SELECT * FROM read_parquet('{ODIR}/minhash_sigs.parquet')
+            WHERE {sig_where}) x
+      JOIN (SELECT * FROM read_parquet('{ODIR}/minhash_sigs.parquet')
+            WHERE {sig_where}) y
         ON x.doc_id < y.doc_id AND ({band_eq})
     ) WHERE agree / {num_perm}.0 >= {threshold}
     """
@@ -2575,6 +2586,186 @@ def docs_dedup_retention(spark, sf_dir):
 
 
 ORACLES["docs_dedup_retention"] = _dedup_retention_oracle_sql()
+
+
+def _training_manifest_oracle_sql() -> str:
+    """The full pipeline, stage by stage, as one DuckDB CTE chain:
+    corpus = base docs ∪ exact plants; benchmark = the near plants
+    (crawl near-copies of held-out benchmark text — the real-world
+    contamination vector); dedup retention over materialized signatures
+    RESTRICTED to the corpus (restriction commutes with per-doc pair
+    generation, _minhash_oracle_sql doc); 5-gram decontamination; the
+    hashed-classifier quality gate; BPE counts from the materialized
+    shared-kernel twin; bucket/pack/slot via windowed rank; pack order
+    via the shared Feistel SQL."""
+    from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key_sql
+
+    from osm_addr_tools_spark.plans.training import _PACK_UID_STRIDE
+
+    pairs = _minhash_oracle_sql(
+        sig_where="doc_id < 1000000 OR doc_id >= 2000000"
+    )
+    pack_key = feistel_shuffle_key_sql(
+        f"(bucket_cap * {_PACK_UID_STRIDE} + pack_id)"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5
+    ),
+    bench AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' trailing mutation' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    retained AS (
+      SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    rtok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM retained
+    ),
+    rg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM rtok WHERE len(t) >= 5
+      )
+    ),
+    bg AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+                      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM bench)
+        WHERE len(t) >= 5
+      )
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM rg JOIN bg USING (gram)),
+    clean AS (
+      SELECT * FROM retained
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    qt AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM clean
+    ),
+    qp AS (
+      SELECT doc_id,
+        CASE WHEN length(t) = 0 THEN 0 ELSE
+          least(length(t), 10000) * 131
+          + ascii(substr(t, 1, 1)) * 17
+          + ascii(substr(t, least(length(t), 10000), 1)) * 7
+          + ascii(substr(t, (least(length(t), 10000) + 1) // 2, 1))
+        END AS probe
+      FROM qt
+    ),
+    qb AS (
+      SELECT doc_id,
+             (probe * 2654435761) % 4294967296 % {_CLS_DIM} AS bucket
+      FROM qp
+    ),
+    qs AS (
+      SELECT doc_id,
+             CAST(SUM((bucket * 2654435761) % 4294967296 % 1001 - 500) AS BIGINT)
+               AS score_num,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM qb GROUP BY doc_id
+    ),
+    kept AS (SELECT doc_id FROM qs WHERE score_num / (n_tok * 500.0) >= 0.0),
+    cnt AS (
+      SELECT k.doc_id, b.n_tok_bpe
+      FROM kept k JOIN read_parquet('{ODIR}/bpe_counts.parquet') b USING (doc_id)
+    ),
+    bkt AS (
+      SELECT doc_id, n_tok_bpe,
+             CAST(CASE WHEN n_tok_bpe <= 16 THEN 16 WHEN n_tok_bpe <= 32 THEN 32
+                       WHEN n_tok_bpe <= 64 THEN 64 ELSE 128 END AS BIGINT)
+               AS bucket_cap,
+             n_tok_bpe > 128 AS truncated
+      FROM cnt
+    ),
+    rnk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_cap ORDER BY doc_id) AS rn
+      FROM bkt
+    ),
+    packed AS (
+      SELECT doc_id, n_tok_bpe, bucket_cap, truncated,
+             CAST((rn - 1) // (128 // bucket_cap) AS BIGINT) AS pack_id,
+             CAST((rn - 1) % (128 // bucket_cap) AS BIGINT) AS slot
+      FROM rnk
+    ),
+    pos AS (
+      SELECT bucket_cap, pack_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY pack_key) AS BIGINT) AS pack_pos
+      FROM (
+        SELECT bucket_cap, pack_id, {pack_key} AS pack_key
+        FROM (SELECT DISTINCT bucket_cap, pack_id FROM packed)
+      )
+    )
+    SELECT p.doc_id, p.n_tok_bpe, p.bucket_cap, p.truncated,
+           p.pack_id, p.slot, q.pack_pos
+    FROM packed p JOIN pos q USING (bucket_cap, pack_id)
+    """
+
+
+@q("docs_training_manifest", None)
+def docs_training_manifest(spark, sf_dir):
+    """THE capstone composition — the whole preprocessing pipeline in one
+    call, ending in the table a training run reads: near-dup retention
+    (MinHash LSH + connected components), benchmark decontamination
+    (5-gram overlap vs the near plants — crawl near-copies of benchmark
+    text, the real contamination vector), hashed-classifier quality gate,
+    tokenizer-true BPE token counts, length-bucketed packing, and a
+    deterministic Feistel pack shuffle. Every stage is an already-gated
+    operator; this query gates the COMPOSITION (stage order, the ids-only
+    joins between stages, and that each stage's drop set actually reaches
+    the next). Corpus: base docs ∪ exact plants (dropped by dedup);
+    benchmark: near plants (contaminating their base docs, 1/10 of the
+    corpus); quality keeps score ≥ 0 (about half). Implementation:
+    plans/training.py training_manifest."""
+    from osm_addr_tools_spark.functions.tokenize import learn_bpe_from_df
+    from osm_addr_tools_spark.oracle_support import BPE_MAX_VOCAB, BPE_N_MERGES
+    from osm_addr_tools_spark.plans.training import training_manifest
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    bench = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    # tokenizer learned once on the BASE corpus (fixed corpus-wide; the
+    # materialized oracle twin bpe_counts.parquet is built from the same
+    # table through the same kernels)
+    merges = learn_bpe_from_df(d, n_merges=BPE_N_MERGES, max_vocab=BPE_MAX_VOCAB)
+    return training_manifest(
+        d.unionByName(exact),
+        bench,
+        merges,
+        dedup_threshold=0.5,
+        contam_n=5,
+        quality_dim=_CLS_DIM,
+        capacity=128,
+        min_bucket=16,
+    )
+
+
+ORACLES["docs_training_manifest"] = _training_manifest_oracle_sql()
 
 
 def _docs_incremental(spark, sf_dir):
@@ -3345,6 +3536,7 @@ _REGISTRY_TAIL = [
     "docs_quality_ascii",          # quality family keeps docs_quality_classifier (+ filter-stream parity pytests)
     "docs_token_stats",            # token counting exercised inside docs_token_shards / docs_pack_assign / docs_mix_epoch oracles
     "geo_customer_clusters",       # composition query: its band join is gated by geo_knn_nearest_supplier, its CC by dedup_minhash_components
+    "docs_stratified_sample",      # fib_bucket kernel (changed r6) now driver-gated under its promoted sibling docs_split_assign + docs_mix_epoch; kernel untouched in r7
     "emb_cosine_top3",             # cosine_col kept gated by emb_ann_lsh_top3 + emb_dedup_retention
     "tile_assignments",            # C4 cover kept gated by tile_untile_roundtrip + tile_cover_superset
     "nation_customer_segments",    # A2 distinct-counting exercised inside boilerplate/decontam oracles
