@@ -63,6 +63,19 @@ targets = {
     # index on (band, bucket); the within-batch CC labels are an eager
     # loop (as above); final assembly is two left joins on doc_id
     "docs_incremental_dedup (batch vs persisted corpus index)": Q.QUERIES["docs_incremental_dedup"](spark, "/root/testdata/sf0.01"),
+    # r7: BPE counts are ONE ArrowEvalPython island over a scan (the
+    # merge table rides the closure; learning ran at build as a separate
+    # bounded-collect job); the manifest composition should show
+    # ids-only hash joins between stages and the packing/shuffle tail
+    # reading the (id, n_tok) localCheckpoint leaf — never re-running
+    # minhash/gram-join/BPE subtrees
+    "docs_bpe_token_stats (corpus-learned BPE, Arrow-batched counts)": Q.QUERIES["docs_bpe_token_stats"](spark, "/root/testdata/sf0.1"),
+    "docs_training_manifest (capstone: dedup -> decontam -> quality -> BPE -> pack -> shuffle)": Q.QUERIES["docs_training_manifest"](spark, "/root/testdata/sf0.01"),
+    # r7: mixture application (fib_bucket keep + posexplode repeats) and
+    # the span-removal applier (per-doc sorted collect_list + one Arrow
+    # reconstruction — windows partitioned by doc_id only)
+    "docs_mix_epoch (epoch mixture materialization)": Q.QUERIES["docs_mix_epoch"](spark, "/root/testdata/sf0.1"),
+    "docs_spans_applied (span-removal applier)": Q.QUERIES["docs_spans_applied"](spark, "/root/testdata/sf0.1"),
 }
 
 with open("/root/repo/BENCH/PLANS.md", "w") as f:
