@@ -51,25 +51,54 @@ _INF = 1 << 30
 def learn_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a word→count table (pure Python,
     exact integer counts, deterministic tie-break: highest count, then
-    lexicographically smallest pair)."""
+    lexicographically smallest pair).
+
+    Incremental scheme (the one Sennrich's reference learn_bpe uses): keep
+    a global pair→count table plus a pair→{words containing it} index;
+    each merge rewrites ONLY the words containing the chosen pair,
+    decrementing their old pair counts and incrementing the new ones —
+    O(Σ affected-word lengths) per merge instead of recounting the whole
+    vocabulary (O(merges × vocab) for the naive fold, ~minutes at a real
+    50k-word web vocabulary). Result is identical to the naive
+    recount-per-round fold (pinned by tests/test_tokenize.py's
+    independent reimplementation)."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_counts.items():
         if w:
             key = tuple(w) + (_EOW,)
             vocab[key] = vocab.get(key, 0) + int(c)
+
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    for sym, c in vocab.items():
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += c
+            where.setdefault(p, set()).add(sym)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for sym, c in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += c
-        if not pairs:
+        # drop zero/negative remnants lazily so min() never picks them
+        best = None
+        best_key = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            k = (-c, p)
+            if best_key is None or k < best_key:
+                best_key, best = k, p
+        if best is None:
             break
-        best = min(pairs, key=lambda p: (-pairs[p], p))
         merges.append(best)
         merged = best[0] + best[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for sym, c in vocab.items():
+        for sym in list(where.get(best, ())):
+            c = vocab.pop(sym, None)
+            if c is None:
+                continue
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= c
+                s = where.get(p)
+                if s is not None:
+                    s.discard(sym)
             out = []
             i = 0
             while i < len(sym):
@@ -79,9 +108,11 @@ def learn_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str
                 else:
                     out.append(sym[i])
                     i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + c
-        vocab = new_vocab
+            new_sym = tuple(out)
+            vocab[new_sym] = vocab.get(new_sym, 0) + c
+            for p in zip(new_sym, new_sym[1:]):
+                pair_counts[p] += c
+                where.setdefault(p, set()).add(new_sym)
     return merges
 
 

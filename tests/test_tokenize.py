@@ -44,6 +44,68 @@ def test_bpe_encode_determinism_and_unknowns():
     assert bpe_encode("", ranks) == ["</w>"]
 
 
+def _learn_bpe_naive(word_counts, n_merges):
+    """Independent reference: full recount + full rewrite every round —
+    the textbook fold learn_bpe's incremental pair-index scheme must
+    reproduce exactly (same counts, same (-count, pair) tie-break)."""
+    from collections import Counter
+
+    vocab = {}
+    for w, c in word_counts.items():
+        if w:
+            key = tuple(w) + ("</w>",)
+            vocab[key] = vocab.get(key, 0) + int(c)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_learn_bpe_incremental_equals_naive():
+    """The incremental pair-index learner must be merge-for-merge
+    identical to the naive recount fold — exhaustively, on corpora built
+    to stress the update paths: repeated letters (overlapping pairs),
+    words collapsing to the same rewritten form, count ties resolved
+    lexicographically, and a deterministic pseudo-random corpus."""
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+        {"aaaa": 7, "aaab": 3, "abab": 5, "bbbb": 2},
+        {"xy": 1, "yx": 1, "xx": 1, "yy": 1},          # all-ties
+        {"abc": 2, "bcd": 2, "cde": 2, "abcde": 1},
+        {"": 4, "a": 9},                               # degenerate words
+    ]
+    # deterministic pseudo-random corpus (no RNG: id-derived words)
+    big = {}
+    for i in range(300):
+        w = "".join("abcdef"[(i * k + k * k) % 6] for k in range(2 + i % 7))
+        big[w] = big.get(w, 0) + 1 + i % 11
+    corpora.append(big)
+    for wc in corpora:
+        for n in (1, 5, 40):
+            assert learn_bpe(wc, n) == _learn_bpe_naive(wc, n), wc
+
+
 def test_bpe_count_batch_matches_per_word_encode():
     counts = {"hello": 4, "help": 3, "world": 5}
     ranks = merges_to_ranks(learn_bpe(counts, 8))
