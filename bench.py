@@ -327,7 +327,12 @@ def main() -> int:
         samples.setdefault(name, []).append(
             [round(t2 - t0, 3), round(t2 - t1, 3)]
         )
-        last_df[name] = df
+        # only the headline frame is needed later (match_rows count);
+        # retaining every df would pin eagerly-materialized state —
+        # docs_training_manifest's localCheckpoint blocks — on the
+        # executors through every subsequent timed run
+        if name == "conflate_join":
+            last_df[name] = df
         # release fingerprint tables the dedup operators persisted —
         # otherwise repeated invocations pin |docs|-sized caches for
         # the rest of the session (ADVICE r4)
@@ -344,8 +349,15 @@ def main() -> int:
     # base passes get adaptive extra passes (best-of-3): the slow walls
     # are exactly the ones a single polluted window distorts most.
     SLOW_EXEC_SEC = 2.0
+    # An EXPLICIT SPARK_GRAFT_QUERY_REPEATS pin disables the adaptive
+    # extra passes entirely: tools/bench_scaling.py pins 1 (its outer
+    # best-of-N across fresh JVMs is the noise filter — adaptive
+    # in-JVM extras would silently turn each "cold" sample into a
+    # min-of-3 warm one and change the efficiency definition) and
+    # tools/bench_trend.py pins 2 for the same reason.
+    adaptive = "SPARK_GRAFT_QUERY_REPEATS" not in os.environ
     _sentinel()
-    max_passes = max(headline_repeats, repeats, 3)
+    max_passes = max(headline_repeats, repeats, 3 if adaptive else 0)
     for p in range(max_passes):
         for name, make in qs.items():
             want = headline_repeats if name == "conflate_join" else repeats
@@ -353,7 +365,8 @@ def main() -> int:
             if p < want:
                 pass  # scheduled base repeat for this pass
             elif (
-                0 < done < max(want, 3)
+                adaptive
+                and 0 < done < max(want, 3)
                 and min(s[1] for s in samples[name]) > SLOW_EXEC_SEC
             ):
                 pass  # adaptive extra repeat: still slow after base passes
@@ -425,11 +438,12 @@ def main() -> int:
             indent=1,
         )
     line = json.dumps(out)
-    assert len(line) < 1800, (
-        f"bench result line is {len(line)} chars — the driver captures only "
-        f"the last 2000 chars of stdout (BENCH_r04/r06 parsed: null); move "
-        f"whatever grew into BENCH/SAMPLES_last_run.json"
-    )
+    if len(line) >= 1800:  # raise, not assert: python -O strips asserts
+        raise ValueError(
+            f"bench result line is {len(line)} chars — the driver captures "
+            f"only the last 2000 chars of stdout (BENCH_r04/r06 parsed: "
+            f"null); move whatever grew into BENCH/SAMPLES_last_run.json"
+        )
     print(line)
     return 0
 

@@ -162,7 +162,13 @@ def apply_span_removals(
             )
         ).alias("_spans")
     )
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    # coalesce first: NULL text would propagate NULL through
+    # regexp_extract_all → filter → array_join and break the
+    # one-row-per-doc pass-through contract (size(NULL) is -1/NULL,
+    # never 0) — same defense as bpe_count_batch's `(t or "")`
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), '{TOKEN_RE}', 0)"
+    )
     no_spans = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
     d = (
         docs.join(sp, id_col, "left")

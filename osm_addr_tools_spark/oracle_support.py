@@ -367,14 +367,16 @@ BPE_MAX_VOCAB = 50_000
 
 def _bpe_counts_pdf(sf_dir: str) -> pd.DataFrame:
     """Per-doc BPE token counts under merges learned from the SAME corpus
-    — pure pandas twin of queries.docs_bpe_token_stats' Spark plan, built
-    from the shared scalar kernels (functions.tokenize.learn_bpe /
-    bpe_encode), including the deterministic (-count, word) top-V
-    truncation learn_bpe_from_df applies."""
+    — pure pandas twin of queries.docs_bpe_token_stats' Spark plan, going
+    through the shared scalar kernels for BOTH halves: learning
+    (functions.tokenize.learn_bpe over the deterministic (-count, word)
+    top-V table, exactly learn_bpe_from_df's truncation) AND counting
+    (bpe_count_batch — the very kernel the Arrow UDF runs), so a kernel
+    change can never silently diverge the twin from the engine."""
     import re
 
     from osm_addr_tools_spark.functions.tokenize import (
-        bpe_encode,
+        bpe_count_batch,
         learn_bpe,
         merges_to_ranks,
     )
@@ -384,22 +386,14 @@ def _bpe_counts_pdf(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     word_re = re.compile(TOKEN_RE)
-    docs_words = [word_re.findall((t or "").lower()) for t in d.text]
     counts: dict[str, int] = {}
-    for ws in docs_words:
-        for w in ws:
+    for t in d.text:
+        for w in word_re.findall((t or "").lower()):
             counts[w] = counts.get(w, 0) + 1
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_VOCAB]
     ranks = merges_to_ranks(learn_bpe(dict(top), BPE_N_MERGES))
-    cache: dict[str, int] = {}
-    n_tok = []
-    for ws in docs_words:
-        for w in ws:
-            if w not in cache:
-                cache[w] = len(bpe_encode(w, ranks))
-        n_tok.append(sum(cache[w] for w in ws))
     return pd.DataFrame(
-        {"doc_id": d.doc_id, "n_tok_bpe": pd.Series(n_tok, dtype="int64")}
+        {"doc_id": d.doc_id, "n_tok_bpe": bpe_count_batch(d.text, ranks)}
     )
 
 

@@ -284,11 +284,14 @@ def dedup_one_batch(
     ledger_path: str,
     threshold: float = 0.5,
     **minhash_kw,
-) -> None:
+) -> dict:
     """One micro-batch of the incremental dedup stream — module-level so
     the crash-replay contract is directly testable (re-invoking with the
     same batch_id must rewrite byte-identical ledger and index
-    partitions). See incremental_dedup_stream for the full contract."""
+    partitions). Returns ``{"rows", "kept"}`` ledger counts (computed
+    from the single post-write read that already feeds the kept-join, so
+    callers never re-scan the partition). See incremental_dedup_stream
+    for the full contract."""
     from osm_addr_tools_spark.operators.dedup import (
         build_minhash_index,
         incremental_minhash_dedup,
@@ -309,13 +312,23 @@ def dedup_one_batch(
         # basePath keeps partition discovery rooted at index_path, so
         # the directory names surface as a batch_id column (string:
         # the seed partition is batch_id=seed) the replay guard can
-        # filter on — never the in-flight batch's own partition (a
+        # filter on. The corpus view for batch N is the seed plus
+        # STRICTLY EARLIER batches (batch order IS the dedup
+        # precedence): never the in-flight batch's own partition (a
         # replay after the index append would otherwise self-match
-        # every kept doc and empty the partition; ADVICE r6, high).
+        # every kept doc and empty the partition; ADVICE r6, high) and
+        # never a LATER batch's stale partition — on a config-change
+        # rerun (manifest invalidation) or an out-of-order crawl id,
+        # `!= current` would dedupe crawl N against crawl N+k's
+        # surviving signatures, inverting precedence and permanently
+        # mislabeling crawl-N docs corpus_dup.
+        # try_cast: the seed partition's value is the literal string
+        # "seed" — a plain cast would raise under ANSI (Spark 4 default)
+        b = F.col("batch_id").cast("string").try_cast("long")
         idx = (
             spark.read.option("basePath", index_path)
             .parquet(index_path)
-            .where(F.col("batch_id").cast("string") != str(batch_id))
+            .where(b.isNull() | (b < F.lit(int(batch_id))))
             .select("doc_id", "sig")
         )
     except AnalysisException as e:
@@ -334,10 +347,13 @@ def dedup_one_batch(
         ledger.write.mode("overwrite").parquet(
             f"{ledger_path}/batch_id={batch_id}"
         )
-        kept = (
-            spark.read.parquet(f"{ledger_path}/batch_id={batch_id}")
-            .where(F.col("status") == "kept")
-            .select(F.col("doc_id").alias(id_col))
+        led = spark.read.parquet(f"{ledger_path}/batch_id={batch_id}")
+        agg = led.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("status") == "kept").cast("long")).alias("kept"),
+        ).first()
+        kept = led.where(F.col("status") == "kept").select(
+            F.col("doc_id").alias(id_col)
         )
         # the appended signatures are built by the SAME construction,
         # keyed by the SAME id column, as the batch signatures the
@@ -349,6 +365,7 @@ def dedup_one_batch(
         )
     finally:
         batch_df.unpersist()
+    return {"rows": int(agg["rows"]), "kept": int(agg["kept"] or 0)}
 
 
 def incremental_dedup_stream(
@@ -471,24 +488,19 @@ def ingest_batches_resumable(
     for b in todo:
         batch_df = docs.where(F.col(batch_col) == b).drop(batch_col)
         t0 = _time.perf_counter()
-        dedup_one_batch(
+        bstats = dedup_one_batch(
             batch_df, b, index_path, ledger_path,
             threshold=threshold, **minhash_kw,
         )
         wall_ms = int((_time.perf_counter() - t0) * 1000)
-        ledger = spark.read.parquet(f"{ledger_path}/batch_id={b}")
-        agg = ledger.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum((F.col("status") == "kept").cast("long")).alias("kept"),
-        ).first()
         row = spark.createDataFrame(
-            [("incremental_dedup", cfg, int(b), int(agg["rows"]),
-              int(agg["kept"] or 0), wall_ms)],
+            [("incremental_dedup", cfg, int(b), bstats["rows"],
+              bstats["kept"], wall_ms)],
             "stage string, config_hash string, part long, rows long, "
             "matched long, wall_ms long",
         )
         row.write.mode("append").parquet(
             _os.path.join(ledger_path, MANIFEST_DIR)
         )
-        stats["rows"] += int(agg["rows"])
+        stats["rows"] += bstats["rows"]
     return stats

@@ -588,3 +588,44 @@ def test_ingest_batches_resumable(spark, tmp_path):
     # config change invalidates resume
     s3 = ST.ingest_batches_resumable(batches, ip, lp, threshold=0.7)
     assert s3["skipped"] == 0 and s3["written"] == 3
+
+
+def test_dedup_one_batch_precedence_excludes_later_partitions(spark, tmp_path):
+    """The corpus view for batch N is seed + STRICTLY EARLIER batches —
+    never a later batch's partition. Regression: with a `!= current`
+    guard, a late-arriving crawl (or a config-change rerun over stale
+    partitions) deduped against FUTURE state, inverting the documented
+    batch-order precedence: here crawl 1's doc would be labeled
+    corpus_dup because crawl 2 (processed earlier in wall time) kept the
+    same text."""
+    from osm_addr_tools_spark.operators import dedup as D
+
+    ip, lp = str(tmp_path / "idx"), str(tmp_path / "led")
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the mill")],
+        "doc_id long, text string",
+    )
+    ST.seed_dedup_index(D.build_minhash_index(seed), ip)
+
+    novel = "totally novel zulu yankee xray whiskey victor uniform tango"
+    # crawl 2 processed first (arrives early), keeps the novel doc
+    ST.dedup_one_batch(
+        spark.createDataFrame([(901, novel)], "doc_id long, text string"),
+        2, ip, lp,
+    )
+    # crawl 1 arrives late with the SAME text: its corpus view must be
+    # seed-only, so by batch-order precedence the doc is KEPT
+    stats = ST.dedup_one_batch(
+        spark.createDataFrame([(801, novel)], "doc_id long, text string"),
+        1, ip, lp,
+    )
+    assert stats == {"rows": 1, "kept": 1}
+    ledger1 = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(f"{lp}/batch_id=1").collect()
+    }
+    assert ledger1 == {801: "kept"}
+    assert sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{ip}/batch_id=1").select("doc_id").collect()
+    ) == [801]

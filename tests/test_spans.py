@@ -199,3 +199,22 @@ def test_apply_span_removals_roundtrip_with_duplicated_spans(spark):
         for r in apply_span_removals(docs, spans).collect()
     }
     assert untouched[4] == 0
+
+
+def test_apply_span_removals_null_and_empty_text(spark):
+    """Pass-through contract survives NULL/empty text: one row per doc,
+    clean_text = '' (never NULL), n_removed = 0 — a NULL would otherwise
+    propagate through regexp_extract_all → filter → array_join and feed
+    NULLs to downstream length/quality filters."""
+    from osm_addr_tools_spark.operators.spans import apply_span_removals
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "keep these words")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long"
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in apply_span_removals(docs, spans).collect()}
+    assert got == {1: ("", 0), 2: ("", 0), 3: ("keep these words", 0)}
