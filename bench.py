@@ -192,6 +192,11 @@ def bench_queries(spark, sf_dir: str, n_pages: int, base: str):
         # at build — read the build-inclusive algo column
         "docs_bpe_token_stats": lambda: Q.QUERIES["docs_bpe_token_stats"](spark, sf_dir),
         "docs_training_manifest": lambda: Q.QUERIES["docs_training_manifest"](spark, sf_dir),
+        # r7: the epoch mixture materializer (fib-bucket keep window +
+        # posexplode repeats, broadcast constants) and the span-removal
+        # applier (per-doc collect_list + higher-order-function rewrite)
+        "docs_mix_epoch": lambda: Q.QUERIES["docs_mix_epoch"](spark, sf_dir),
+        "docs_spans_applied": lambda: Q.QUERIES["docs_spans_applied"](spark, sf_dir),
     }
 
 

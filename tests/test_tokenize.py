@@ -161,3 +161,45 @@ def test_bpe_spark_matches_pure_python(spark):
         ws = re.findall("[a-z0-9]+", t.lower())
         if ws:
             assert len(ws) <= got[i] <= sum(len(w) + 1 for w in ws)
+
+
+def test_bpe_encode_ids_roundtrip_and_count_consistency(spark):
+    """Token-ID streams: decode(encode_ids(text)) == the canonical
+    normalized text (lowercase TOKEN_RE tokens, single-space joined),
+    and len(ids) == the n_tok_bpe the count path reports — so packing /
+    chunking coordinates computed on counts address this exact stream."""
+    import re
+
+    from osm_addr_tools_spark.functions.tokenize import (
+        bpe_decode_ids,
+        bpe_encode_ids_col,
+        bpe_token_count_col,
+        bpe_vocab,
+        learn_bpe_from_df,
+    )
+
+    rows = [
+        (1, "The quick brown fox JUMPS over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs 42 times"),
+        (3, ""),
+        (4, None),
+        (5, "repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    merges = learn_bpe_from_df(df, n_merges=25)
+    vocab = bpe_vocab(merges)
+    assert len(set(vocab)) == len(vocab)  # ids are unambiguous
+
+    got = {
+        r.doc_id: (r.ids, r.n)
+        for r in df.select(
+            "doc_id",
+            bpe_encode_ids_col(merges).alias("ids"),
+            bpe_token_count_col(merges).alias("n"),
+        ).collect()
+    }
+    for i, t in rows:
+        ids, n = got[i]
+        assert len(ids) == n
+        want = " ".join(re.findall("[a-z0-9]+", (t or "").lower()))
+        assert bpe_decode_ids(ids, vocab) == want
