@@ -203,3 +203,35 @@ def test_bpe_encode_ids_roundtrip_and_count_consistency(spark):
         assert len(ids) == n
         want = " ".join(re.findall("[a-z0-9]+", (t or "").lower()))
         assert bpe_decode_ids(ids, vocab) == want
+
+
+def test_learn_bpe_hypothesis_random_corpora():
+    """Property fuzz: on arbitrary small corpora the incremental learner
+    equals the naive fold, and encode/decode under the learned vocab
+    roundtrips every word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_addr_tools_spark.functions.tokenize import (
+        bpe_decode_ids,
+        bpe_encode,
+        bpe_vocab,
+        merges_to_ranks,
+    )
+
+    word = st.text(alphabet="abc01", min_size=0, max_size=8)
+    corpus = st.dictionaries(word, st.integers(1, 50), min_size=0, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpus, st.integers(0, 15))
+    def prop(wc, n):
+        merges = learn_bpe(wc, n)
+        assert merges == _learn_bpe_naive(wc, n)
+        vocab = bpe_vocab(merges)
+        sym_ids = {s: i for i, s in enumerate(vocab)}
+        ranks = merges_to_ranks(merges)
+        for w in wc:
+            ids = [sym_ids[s] for s in bpe_encode(w, ranks)]
+            assert bpe_decode_ids(ids, vocab) == w
+
+    prop()
