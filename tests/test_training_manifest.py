@@ -117,3 +117,50 @@ def test_manifest_deterministic_across_parallelism(spark, manifest_inputs):
         ).collect())
     )
     assert a == b
+
+
+def test_materialize_packed_examples(spark, manifest_inputs):
+    """The terminal artifact: one row per pack, token_ids = members' BPE
+    streams concatenated in slot order, Σ n_tok ≤ capacity, every
+    manifest doc appears in exactly one pack, pack_pos carried through."""
+    from osm_addr_tools_spark.functions.tokenize import (
+        bpe_encode_ids_col,
+    )
+    from osm_addr_tools_spark.plans.training import (
+        materialize_packed_examples,
+    )
+
+    corpus, bench, merges = manifest_inputs
+    manifest = training_manifest(
+        corpus, bench, merges, capacity=128, min_bucket=16
+    )
+    mrows = manifest.collect()
+    packs = materialize_packed_examples(
+        corpus, manifest, merges, capacity=128
+    ).collect()
+
+    # per-doc streams for reference, from the same encoder
+    streams = {
+        r.doc_id: list(r.ids)
+        for r in corpus.select(
+            "doc_id", bpe_encode_ids_col(merges).alias("ids")
+        ).collect()
+    }
+    by_pack = {}
+    for r in mrows:
+        by_pack.setdefault((r.bucket_cap, r.pack_id), []).append(r)
+    assert len(packs) == len(by_pack)
+    seen_docs = []
+    saw_truncated = False
+    for p in packs:
+        members = sorted(by_pack[(p.bucket_cap, p.pack_id)], key=lambda r: r.slot)
+        want_ids = [t for m in members for t in streams[m.doc_id]][:128]
+        saw_truncated |= any(m.truncated for m in members)
+        assert list(p.token_ids) == want_ids
+        assert p.n_tok == min(sum(m.n_tok_bpe for m in members), 128)
+        assert p.n_tok <= 128 and len(p.token_ids) == p.n_tok
+        assert list(p.doc_ids) == [m.doc_id for m in members]
+        assert p.pack_pos == members[0].pack_pos
+        seen_docs.extend(p.doc_ids)
+    assert sorted(seen_docs) == sorted(r.doc_id for r in mrows)
+    assert saw_truncated  # the capacity cut is exercised, not vacuous
