@@ -788,6 +788,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_buckets: int = 16,
     job_id: str | None = None,
+    unroll: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected pair set — the group-forming
     step every dedup pipeline needs after candidate pairs (MinHash, SimHash,
@@ -808,11 +809,18 @@ def connected_components(
     vertex ids — per-vertex state, no hot keys beyond input skew (a
     celebrity vertex's edge fan-in is combined map-side by the min agg).
 
-    Driver-side per-round work: one scalar convergence count (bounded
-    metadata action, ≤ ``max_iter`` rounds) and a localCheckpoint of the
-    new label table (truncating BOTH lineage and the logical plan —
-    iterative plans otherwise grow ~3× per round and long-chain graphs
-    OOM the driver during analysis; see the loop comment).
+    Driver-side work: one scalar convergence count per materialization
+    (bounded metadata action, ≤ ``max_iter`` rounds total) and a
+    localCheckpoint of the new label table (truncating BOTH lineage and
+    the logical plan — iterative plans otherwise grow ~3× per round and
+    long-chain graphs OOM the driver during analysis; see the loop
+    comment). The in-memory path batches ``unroll`` rounds per
+    localCheckpoint job and reads the convergence flag off the cached
+    blocks, cutting the driver's per-round job count — the dominant cost
+    of the loop at small-to-medium graph sizes (rounds are scheduling-
+    latency-bound, not data-bound); results are identical because extra
+    rounds past the fixpoint are no-ops (labels monotone non-increasing,
+    every fixpoint of the closed-neighborhood min = component min).
 
     ``checkpoint_dir`` (VERDICT r3 #6 — the production shape): write each
     round's label table through the S5 manifest sink (plans/manifest.py,
@@ -912,61 +920,107 @@ def connected_components(
                     "u", "lbl"
                 )
                 start_round = best
-    if labels is None:
-        labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
-    # localCheckpoint, NOT persist: persist truncates EXECUTION but the
-    # LOGICAL plan still nests the previous round's plan ~3× per round
-    # (labels appears in the neighborhood join, the least(), and the
-    # pointer jump), so analysis cost grows 3^rounds — a long-chain graph
-    # that needs ~15 rounds OOMs the driver during ANALYSIS with tiny
-    # data (found by the r4 geo clustering query, whose near-grid point
-    # lattice has a ~300-cell diameter; the minhash graphs converge in
-    # ~4 rounds and never exposed it). localCheckpoint materializes the
-    # round AND cuts the plan to a leaf. The durable path (checkpoint_dir)
-    # gets the same truncation from its parquet round-trip.
-    if checkpoint_dir is None:
-        labels = labels.localCheckpoint()
+    def _round(cur: DataFrame) -> DataFrame:
+        """One label-update round: lower every vertex's label to the min
+        of its closed neighborhood, then pointer-jump lbl <- lbl(lbl)
+        through ``cur`` (cur always contains every lbl value — labels are
+        vertex ids — so the inner join is total)."""
+        nbr = (
+            e.join(cur.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        new = (
+            cur.join(nbr, "u", "left")
+            .select("u", F.least("lbl", "_nbr").alias("lbl"))
+        )
+        return (
+            new.join(
+                cur.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")),
+                "lbl",
+            )
+            .select("u", F.least("lbl", "_lbl2").alias("lbl"))
+        )
+
     # max_iter bounds THIS run's new rounds (a resumed run gets its own
     # fresh budget on top of the checkpointed progress). try/finally: the
     # non-convergence raise (or any mid-round failure) must not pin the
     # persisted |edges| table for the rest of the session (ADVICE r5 —
     # same slow-leak class as the r5 release_persisted_fp fix).
     try:
-        for rnd in range(start_round + 1, start_round + max_iter + 1):
-            nbr = (
-                e.join(labels.withColumnRenamed("u", "v"), "v")
-                .groupBy("u")
-                .agg(F.min("lbl").alias("_nbr"))
-            )
-            new = (
-                labels.join(nbr, "u", "left")
-                .select("u", F.least("lbl", "_nbr").alias("lbl"))
-            )
-            # pointer jump: lbl <- lbl(lbl); labels always contain every lbl
-            # value (labels are vertex ids), so the inner join is total
-            new = (
-                new.join(
-                    labels.select(F.col("u").alias("lbl"), F.col("lbl").alias("_lbl2")),
-                    "lbl",
+        if checkpoint_dir is not None:
+            # durable path: one round per manifest write (resume stays
+            # per-round); the parquet round-trip truncates the plan.
+            if labels is None:
+                labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
+            for rnd in range(start_round + 1, start_round + max_iter + 1):
+                new = _ckpt_write(_round(labels), rnd)
+                changed = (
+                    new.join(labels.withColumnRenamed("lbl", "_old"), "u")
+                    .where(F.col("lbl") != F.col("_old"))
+                    .count()
                 )
-                .select("u", F.least("lbl", "_lbl2").alias("lbl"))
-            )
-            if checkpoint_dir is not None:
-                new = _ckpt_write(new, rnd)
+                labels = new
+                if changed == 0:
+                    break
             else:
-                new = new.localCheckpoint()
-            changed = (
-                new.join(labels.withColumnRenamed("lbl", "_old"), "u")
-                .where(F.col("lbl") != F.col("_old"))
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                break
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} rounds"
+                )
         else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
+            # in-memory path, tuned for driver-loop latency: per
+            # materialization it (a) folds the identity-label init into a
+            # special-cased first round (lbl = min(u, min neighbor) is one
+            # groupBy — no init job, no joins — and, since it references
+            # ``e`` exactly once, it is also what materializes the persist
+            # cache without concurrent duplicate evaluation), (b) carries
+            # the convergence flag INSIDE the checkpointed frame, so the
+            # per-chunk convergence count scans cached blocks instead of
+            # running a separate join job, and (c) optionally unrolls
+            # ``unroll`` rounds per localCheckpoint job. unroll stays 1 by
+            # default: Spark has no common-subtree elimination, so round
+            # k+1's plan re-computes round k's 2-3× (measured 4× wall at
+            # unroll=3 — the un-materialized inner rounds recompute, and
+            # their copies race); with unroll=1 every chunk references
+            # only cached leaves. Extra rounds past the fixpoint are
+            # idempotent (labels monotone non-increasing; any fixpoint of
+            # the closed-neighborhood min IS the component min), so
+            # chunked convergence detection returns identical labels.
+            rounds_left = max_iter
+            labels = None  # None = implicit identity labels (lbl(u) = u)
+            while True:
+                if rounds_left <= 0:
+                    raise RuntimeError(
+                        f"connected_components did not converge in {max_iter} rounds"
+                    )
+                k = min(max(1, unroll), rounds_left)
+                cur = labels
+                for _ in range(k):
+                    if cur is None:
+                        # round 1 from identity labels: nbr-min is min(v)
+                        # and the pointer jump through identity is a no-op
+                        cur = e.groupBy("u").agg(
+                            F.least(F.col("u"), F.min("v")).alias("lbl")
+                        )
+                    else:
+                        cur = _round(cur)
+                rounds_left -= k
+                if labels is None:
+                    cmp = cur.select(
+                        "u", "lbl", (F.col("lbl") != F.col("u")).alias("_chg")
+                    )
+                else:
+                    cmp = (
+                        cur.join(labels.withColumnRenamed("lbl", "_old"), "u")
+                        .select(
+                            "u", "lbl",
+                            (F.col("lbl") != F.col("_old")).alias("_chg"),
+                        )
+                    )
+                ck = cmp.localCheckpoint()
+                labels = ck.select("u", "lbl")
+                if ck.where(F.col("_chg")).count() == 0:
+                    break
     finally:
         e.unpersist()
     # the final label table is already materialized (localCheckpoint /

@@ -37,7 +37,14 @@ def cell_encode_udf(level: int):
         out = C.cell_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
         return pd.Series(out)
 
-    return enc
+    # asNondeterministic (guide §4.4 pattern): the kernel IS deterministic;
+    # the marker only fences the optimizer, which otherwise pushes inferred
+    # join-key predicates (isnotnull(_cell)) BELOW the projection and
+    # re-evaluates the UDF once under the filter and once above it —
+    # measured as paired ArrowEvalPython[enc] nodes in every spatial-join
+    # plan. The blocked pushdowns all reference the UDF output itself, so
+    # nothing that could reach the parquet scan is lost.
+    return enc.asNondeterministic()
 
 
 def cell_neighbors_udf():
@@ -70,7 +77,8 @@ def cell_ring_udf(r: int):
     def ring(cell: pd.Series) -> pd.Series:
         return pd.Series(C.cell_ring(cell.to_numpy(np.int64), r))
 
-    return ring
+    # see cell_encode_udf: optimizer fence against duplicate evaluation
+    return ring.asNondeterministic()
 
 
 def cell_center_udf():
@@ -173,7 +181,11 @@ def cover_and_edges_udf(level: int):
             pos += len(row)
         return pd.DataFrame({"cover": cov_ids, "edges": edges_out})
 
-    return both
+    # see cell_encode_udf: without the fence, the explode's inferred
+    # size(cover) > 0 predicate is pushed below the projection and THE
+    # HEAVIEST UDF OF THE CONTAINMENT JOIN runs twice per polygon
+    # (stacked ArrowEvalPython[both] nodes in one stage, measured)
+    return both.asNondeterministic()
 
 
 def pip_udf():
@@ -682,6 +694,35 @@ def knn_join(
     cand = cand.where(F.col("dist_m") <= F.lit(float(d_max_m)))
     if k is None:
         return cand
+    from pyspark.sql.types import MapType
+
+    orderable = not any(
+        isinstance(f.dataType, MapType) for f in cand.schema.fields
+    )
+    if k == 1 and orderable:
+        # k=1 is an argmin, not a rank: one partial-aggregating min over
+        # struct(dist_m, cand_id, rest) replaces the ranking window —
+        # map-side combine collapses candidates before the shuffle and the
+        # per-key sort disappears. Row-identical to the window pick:
+        # (dist_m, cand_id) is unique per query — each (query, candidate)
+        # pair occurs once post-ring-dedup — so the lexicographic struct
+        # min IS "ORDER BY dist_m ASC, cand_id ASC LIMIT 1" with that
+        # row's remaining columns carried along. Falls back to the window
+        # when a column type is not orderable (maps).
+        out_cols = cand.columns
+        rest = [c for c in out_cols if c not in qid_cols]
+        ordered = ["dist_m", cand_id] + [
+            c for c in rest if c not in ("dist_m", cand_id)
+        ]
+        best = cand.groupBy(*qid_cols).agg(
+            F.min(F.struct(*ordered)).alias("_best")
+        )
+        return best.select(
+            *[
+                F.col(c) if c in qid_cols else F.col(f"_best.{c}").alias(c)
+                for c in out_cols
+            ]
+        )
     w = Window.partitionBy(*qid_cols).orderBy(
         F.col("dist_m").asc(), F.col(cand_id).asc()
     )

@@ -86,7 +86,11 @@ def norm_tags_udf():
             }
         )
 
-    return norm
+    # asNondeterministic: optimizer fence only (the kernel is pure) — the
+    # key join otherwise pushes inferred isnotnull(addr_key) below the
+    # projection and evaluates this 100k-row normalization twice per
+    # branch (paired ArrowEvalPython[norm] nodes, measured; guide §4.4)
+    return norm.asNondeterministic()
 
 
 def street_similarity_udf(tau: float | None = None):
@@ -98,7 +102,10 @@ def street_similarity_udf(tau: float | None = None):
     def sim(a: pd.Series, b: pd.Series) -> pd.Series:
         return N.street_similarity(a, b, tau=tau)
 
-    return sim
+    # asNondeterministic: the ≥ tau acceptance filter otherwise pushes
+    # below the _ratio projection and the difflib matcher runs twice over
+    # the whole pair table (guide §4.4; the fence halves the fuzzy stage)
+    return sim.asNondeterministic()
 
 
 def keyed_existing(existing: DataFrame) -> DataFrame:
@@ -279,9 +286,15 @@ def run_conflate(
     # --- evidence 3: nearest existing node within d_max (J5, k=1) -----------
     # ring_r=2: one level finer than the classic 3×3, 25 cells of 1/4 the
     # area ≈ 0.7× candidate volume — measured 14-15 s → 8-10 s for this
-    # stage at 100k pages local[32] (r=3 ties within noise; r=2 explodes
-    # 25× instead of 49× on the address side). Exactness unchanged: the
-    # plan-build assertion r·min_edge ≥ d_max carries over.
+    # stage at 100k pages local[32] (r=3 ties within noise). Exactness
+    # unchanged: the plan-build assertion r·min_edge ≥ d_max carries over.
+    # expand="candidates" (r8): the ring explode rides the NARROW existing
+    # side (node_id + two doubles, one evaluation as the salted join's
+    # build input) instead of the address side, whose rows carry url +
+    # addr_key strings AND which the salted join's hot-key histogram
+    # evaluates a second time — the probe subtree is now a single-cell
+    # encode over 85k rows instead of a 25× explode computed twice. Pair
+    # set identical either way (Chebyshev ring symmetry, property-tested).
     near1 = knn_join(
         a.select("url", "addr_key", "lon", "lat"),
         ex.select("node_id", F.col("e_lon").alias("c_lon"),
@@ -292,6 +305,7 @@ def run_conflate(
         k=1,
         ring_r=2,
         salt=salt,
+        expand="candidates",
         **salt_kw,
     ).select("url", "addr_key", F.col("node_id").alias("n_node"),
              F.col("dist_m").alias("n_dist"))

@@ -435,6 +435,22 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == _uf_components(edges)
 
 
+def test_connected_components_unroll_invariant(spark):
+    """The per-checkpoint round batching (r8 driver-latency optimization)
+    must not change labels: unroll ∈ {1, 2, 3} all equal the union-find
+    reference on a chain + islands graph where chunked convergence
+    detection overshoots the true fixpoint by up to unroll-1 rounds."""
+    edges = [(i, i + 1) for i in range(30, 45)] + [(1, 2), (7, 8)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    ref = _uf_components(edges)
+    for unroll in (1, 2, 3):
+        got = {
+            r.v: r.component
+            for r in D.connected_components(df, unroll=unroll).collect()
+        }
+        assert got == ref, f"unroll={unroll}"
+
+
 def test_minhash_band_divisibility_raises_not_asserts():
     """num_perm % bands != 0 must raise ValueError (not a strippable
     assert) before any plan is built (VERDICT r3 #4)."""
@@ -649,10 +665,11 @@ def test_connected_components_unpersists_edges_on_failure(spark):
     before = jsc.getPersistentRDDs().size()
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(df, max_iter=1)
-    # exactly the two EAGER localCheckpoint label tables remain (initial
-    # labels + round 1 — their blocks ARE the materialized rounds); the
-    # persisted edge table would be a third persistent RDD if leaked
-    assert jsc.getPersistentRDDs().size() == before + 2
+    # exactly the one EAGER localCheckpoint label table remains (the
+    # round-1 chunk — identity-label init is folded into it, so there is
+    # no separate init checkpoint); the persisted edge table would be a
+    # second persistent RDD if leaked
+    assert jsc.getPersistentRDDs().size() == before + 1
 
 
 def test_lsh_semantic_pairs_zero_vectors_grouped_not_blown_up(spark):
