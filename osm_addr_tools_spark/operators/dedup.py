@@ -121,7 +121,9 @@ def shingle_udf(k: int, max_shingles: int = 512):
             out.append(h.astype(np.int64).tolist())
         return pd.Series(out)
 
-    return sh
+    # optimizer fence (guide §4.4): the size(_sh) > 0 filter otherwise
+    # pushes below the projection and the md5 shingle pass runs twice
+    return sh.asNondeterministic()
 
 
 def ngram_jaccard_pairs(

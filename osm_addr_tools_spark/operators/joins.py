@@ -119,7 +119,9 @@ def cover_polygon_udf(level: int):
             pos += len(row)
         return pd.Series(out)
 
-    return cov
+    # see cell_encode_udf: optimizer fence against duplicate evaluation
+    # (the tile explode otherwise pushes size(cover) > 0 below this)
+    return cov.asNondeterministic()
 
 
 def rings_to_edges_udf():

@@ -177,6 +177,10 @@ def hashed_score_pandas(
     def sc(t: pd.Series) -> pd.DataFrame:
         return score_batch(t, w)
 
+    # optimizer fence: the field extractions below otherwise collapse
+    # into repeated evaluations of the scoring kernel (guide §4.4)
+    sc = sc.asNondeterministic()
+
     d = df.select(F.col(id_col), sc(F.col(text_col)).alias("_s"))
     score = F.col("_s.score_num") / (F.col("_s.n_tok") * F.lit(float(W_SCALE)))
     return d.select(

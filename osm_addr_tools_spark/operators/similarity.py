@@ -75,7 +75,10 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
         vals = (bits * (1 << np.arange(n_planes))).sum(axis=1)
         return pd.Series(vals.astype(np.int64))
 
-    return bucket
+    # optimizer fence: the bucket equi-join otherwise pushes inferred
+    # isnotnull(_bucket) below the projection and evaluates the matrix
+    # multiply twice (guide §4.4; kernel itself is deterministic)
+    return bucket.asNondeterministic()
 
 
 def lsh_ann_topk(
@@ -156,7 +159,8 @@ def hyperplane_bands_udf(dim: int, n_planes: int, bands: int, seed: int):
         vals = (per_band * weights).sum(axis=2).astype(np.int64)
         return pd.Series([row.tolist() for row in vals])
 
-    return buckets
+    # see hyperplane_bucket_udf: fence against duplicate evaluation
+    return buckets.asNondeterministic()
 
 
 def lsh_semantic_pairs(
@@ -264,7 +268,8 @@ def centroid_assign_udf(centroids: np.ndarray, n_probe: int = 1):
         order = np.argsort(d, axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    return assign
+    # see hyperplane_bucket_udf: fence against duplicate evaluation
+    return assign.asNondeterministic()
 
 
 def ivf_ann_topk(

@@ -201,9 +201,21 @@ def run_conflate(
 
     # --- existing side: normalized key columns (JVM map access + one
     # vectorized normalize UDF) ----------------------------------------------
+    # ex is pinned on BOTH paths (r8): unlike `a`, whose pin_inputs=False
+    # re-scan is a bare parquet read, ex is a UDF subtree feeding three
+    # plan branches (key join, fuzzy vocab/candidates, nearest) — without
+    # the pin the 100k-row normalization runs once per branch and the
+    # branches race. The eager count is one bounded job; the cache is
+    # released through the operators.dedup release registry, which
+    # bench.py already drains after every timed run.
     ex = keyed_existing(existing)
     if pin_inputs:
         ex = pin(ex)
+    else:
+        from osm_addr_tools_spark.operators.dedup import _PERSISTED_FP
+
+        ex = pin(ex)
+        _PERSISTED_FP.append(ex)
     w_key = Window.partitionBy("addr_key").orderBy(F.col("node_id").asc())
     ex_best = (
         ex.withColumn("_rn", F.row_number().over(w_key))

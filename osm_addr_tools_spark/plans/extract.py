@@ -39,7 +39,11 @@ def extract_text_udf():
     def x1(html: pd.Series) -> pd.Series:
         return T.extract_text(html)
 
-    return x1
+    # asNondeterministic: optimizer fence only (X1 is a pure function of
+    # the bytes — that determinism is the pinned spec). Chained below X2,
+    # whose explode-inferred predicate otherwise duplicates the whole
+    # X1+X2 Python stage (guide §4.4).
+    return x1.asNondeterministic()
 
 
 def parse_and_normalize_udf():
@@ -68,7 +72,8 @@ def parse_and_normalize_udf():
             pos += len(row)
         return pd.Series(out)
 
-    return x2
+    # see extract_text_udf: fence against explode-predicate duplication
+    return x2.asNondeterministic()
 
 
 def run_extract(

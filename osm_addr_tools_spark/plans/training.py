@@ -140,7 +140,16 @@ def training_manifest(
             feistel_shuffle_key(pack_uid).alias("_pack_key"),
         )
     )
-    pos = global_row_number(packs, "_pack_key", out_col="pack_pos").select(
+    # explicit uniform boundaries (r8): the Feistel key domain is the
+    # STATIC [0, 2^62) — no data-dependent min/max job is needed to bucket
+    # it, and any monotone bucketing yields the identical row numbers
+    # (running_sum's property contract). Cuts are multiples of 2^54, exact
+    # in double. Skips one build-time aggregate job over the whole
+    # distinct-packs subtree.
+    feistel_cuts = [i * (1 << 62) // 256 for i in range(1, 256)]
+    pos = global_row_number(
+        packs, "_pack_key", out_col="pack_pos", boundaries=feistel_cuts
+    ).select(
         "bucket_cap", "pack_id", F.col("pack_pos").cast("long").alias("pack_pos")
     )
     return packed.join(pos, ["bucket_cap", "pack_id"]).select(

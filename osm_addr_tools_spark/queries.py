@@ -991,6 +991,10 @@ def docs_quality_ascii(spark, sf_dir):
     def qc(t):
         return T.quality_components(t)
 
+    # optimizer fence: the per-component field extraction otherwise
+    # collapses into repeated evaluations of the kernel (guide §4.4)
+    qc = qc.asNondeterministic()
+
     d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint")
     return (
@@ -1100,6 +1104,10 @@ def docs_winnow_fingerprints(spark, sf_dir):
     def wf(t):
         return t.map(T.winnow_fingerprints)
 
+    # optimizer fence (guide §4.4): the explode's inferred size > 0
+    # predicate otherwise duplicates the rolling-hash pass
+    wf = wf.asNondeterministic()
+
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(wf("text")).alias("_w"))
@@ -1191,6 +1199,10 @@ def docs_winnow_partial_dups(spark, sf_dir):
     @pandas_udf("array<struct<pos:long,fp:long>>")
     def wf(t):
         return t.map(T.winnow_fingerprints)
+
+    # optimizer fence (guide §4.4): the explode's inferred size > 0
+    # predicate otherwise duplicates the rolling-hash pass
+    wf = wf.asNondeterministic()
 
     fps = (
         _docs_with_boilerplate(spark, sf_dir)
@@ -2296,14 +2308,20 @@ def docs_shuffle_order(spark, sf_dir):
     dense 1-based position comes from the distributed prefix-sum core
     (global_row_number), never a single-task ROW_NUMBER window. Feistel
     keys are uniform on [0, 2^62), exactly what the prefix sum's uniform
-    range buckets want."""
+    range buckets want — and that domain is STATIC, so explicit uniform
+    boundaries (multiples of 2^54, exact in double) skip the build-time
+    min/max aggregate job; any monotone bucketing yields identical
+    positions (the running_sum property contract)."""
     from osm_addr_tools_spark.operators.prefix_sum import global_row_number
     from osm_addr_tools_spark.operators.sampling import feistel_shuffle_key
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", feistel_shuffle_key("doc_id").alias("shuffle_key")
     )
-    return global_row_number(d, "shuffle_key", out_col="shuffle_pos").select(
+    cuts = [i * (1 << 62) // 256 for i in range(1, 256)]
+    return global_row_number(
+        d, "shuffle_key", out_col="shuffle_pos", boundaries=cuts
+    ).select(
         "doc_id",
         "shuffle_key",
         F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"),
