@@ -601,14 +601,16 @@ def simhash_candidates(
 
     Key representation: blocks are CONTIGUOUS bit ranges of the
     fingerprint, so "agrees on every block of subset S" ⟺ equal
-    ``_fp & mask64(S)`` — each subset is ONE 64-bit literal and the key
-    is one AND per exploded row, joined on (mask, fp&mask) directly (the
-    mask value identifies the subset; no hashing, no arrays, stays in
-    whole-stage codegen). Earlier encodings — a C(b,h)-element
-    struct{id, array<int>} literal (≈6500-node tree, falls back to
-    interpreted eval) and an index-aware filter() lambda over a block
-    array — measured 12.9 s and 9.1 s respectively for the same 6000-doc
-    candidate job this form runs in 6.2 s.
+    ``_fp & mask64(S)`` — each subset is ONE 64-bit literal, the key is
+    one AND per exploded row, and (mask, fp&mask) folds into a single
+    ``xxhash64`` join key (8 bytes on the wire instead of 16; a collision
+    only ADDS a candidate, which the exact popcount filter removes, so
+    recall is untouched — all codegen, no arrays). Earlier encodings — a
+    C(b,h)-element struct{id, array<int>} literal (≈6500-node tree, falls
+    back to interpreted eval) and an index-aware filter() lambda over a
+    block array — measured 12.9 s and 9.1 s respectively for the same
+    6000-doc candidate job the two-column form ran in 6.2 s; the hashed
+    key then measured 3.28 → 2.65 s at r8 bench scale.
     """
     from itertools import combinations
 
@@ -631,24 +633,31 @@ def simhash_candidates(
         for j in c:
             m |= block_bits[j]
         masks64.append(int(np.int64(np.uint64(m))))  # signed long literal
+    # Both paths key on xxhash64(mask, fp & mask) — one 8-byte column
+    # instead of the (mask, masked-fp) 16-byte pair (r8: the candidate
+    # join is this operator's single heaviest shuffle; the fold cut its
+    # row width 24 → 16 bytes and measured 3.28 → 2.65 s at bench scale
+    # with byte-identical output). A hash collision can only ADD a
+    # candidate pair — the exact popcount filter in simhash_pairs removes
+    # it — never drop one, so recall stays 100% by pigeonhole.
     keyed = fp.select(
         "_id",
         F.explode(F.array(*[F.lit(m) for m in masks64])).alias("_mask"),
         F.col("_fp").alias("_f"),
-    ).select("_id", "_mask", F.col("_f").bitwiseAND(F.col("_mask")).alias("_fpm"))
-    lhs = keyed.select(F.col("_id").alias("a"), "_mask", "_fpm")
-    rhs = keyed.select(F.col("_id").alias("b"), "_mask", "_fpm")
+    ).select(
+        "_id",
+        F.xxhash64(
+            F.col("_mask"), F.col("_f").bitwiseAND(F.col("_mask"))
+        ).alias("_k"),
+    )
+    lhs = keyed.select(F.col("_id").alias("a"), "_k")
+    rhs = keyed.select(F.col("_id").alias("b"), "_k")
     if salt:
-        # J3 needs a single key column: fold (mask, masked fp) into one
-        # 64-bit hash — collisions only ADD candidates (popcount filters
-        # them), never drop one, so recall is unaffected
         from osm_addr_tools_spark.operators.joins import salted_join
 
-        lhs = lhs.select("a", F.xxhash64("_mask", "_fpm").alias("_k"))
-        rhs = rhs.select("b", F.xxhash64("_mask", "_fpm").alias("_k"))
         cand = salted_join(lhs, rhs, "_k", F.col("a"), **salt_kw)
     else:
-        cand = lhs.join(rhs.hint("shuffle_hash"), ["_mask", "_fpm"])
+        cand = lhs.join(rhs.hint("shuffle_hash"), "_k")
     return (
         cand.where(F.col("a") < F.col("b"))
         .select("a", "b")

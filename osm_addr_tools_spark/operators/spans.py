@@ -54,12 +54,36 @@ from pyspark.sql import functions as F
 from osm_addr_tools_spark.operators.decontam import TOKEN_RE
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive map-side spread (r8): a small corpus file scans into
+    1-3 partitions under a few-MB split size, serializing the gram build
+    (the tokenize + k-window transform is this module's CPU) on 1-3 tasks
+    before the first shuffle. Repartition ONLY when the input's natural
+    parallelism is below the cluster's — a production-sized corpus
+    already scans wider than the core count and passes through untouched,
+    so the extra exchange exists exactly when it is cheap (measured:
+    dup-spans 2.70 → 2.19 s at bench scale; a no-op at any real scale).
+    This is per-branch-profitable only for SINGLE-consumer pipelines like
+    the span chain — multi-branch consumers (winnow, boilerplate) already
+    run their recomputed branches concurrently and measured slower with a
+    spread, so the helper stays local to this module."""
+    sc = df.sparkSession.sparkContext
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — fall back to leaving df untouched
+        return df
+    if nparts < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def positioned_grams(
     df: DataFrame, text_col: str, k: int, id_col: str
 ) -> DataFrame:
     """One row per k-token window: (id_col, pos, gram), pos = 0-based
     start token index. Docs shorter than k tokens emit no rows. Same
     tokenizer as operators.decontam (lowercase [a-z0-9]+ runs)."""
+    df = _spread(df)
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
     return (
         df.select(id_col, toks.alias("_t"))
@@ -171,7 +195,7 @@ def apply_span_removals(
     )
     no_spans = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
     d = (
-        docs.join(sp, id_col, "left")
+        _spread(docs).join(sp, id_col, "left")
         .withColumn("_spans", F.coalesce(F.col("_spans"), no_spans))
         .withColumn("_t", toks)
     )
