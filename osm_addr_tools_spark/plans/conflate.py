@@ -216,12 +216,17 @@ def run_conflate(
 
         ex = pin(ex)
         _PERSISTED_FP.append(ex)
-    w_key = Window.partitionBy("addr_key").orderBy(F.col("node_id").asc())
-    ex_best = (
-        ex.withColumn("_rn", F.row_number().over(w_key))
-        .where(F.col("_rn") == 1)
-        .select("addr_key", F.col("node_id").alias("k_node"),
-                "has_postcode", "e_lon", "e_lat", "e_tags")
+    # min-node-per-key is an argmin, not a rank (r8): one partial-
+    # aggregating min/min_by replaces the row_number window — map-side
+    # combine shrinks the shuffle and the per-key sort disappears.
+    # Deterministically identical to the rn=1 pick because node_id is
+    # unique (verified row-identical on the 100k bench table).
+    ex_best = ex.groupBy("addr_key").agg(
+        F.min("node_id").alias("k_node"),
+        F.min_by("has_postcode", "node_id").alias("has_postcode"),
+        F.min_by("e_lon", "node_id").alias("e_lon"),
+        F.min_by("e_lat", "node_id").alias("e_lat"),
+        F.min_by("e_tags", "node_id").alias("e_tags"),
     )
 
     # --- evidence 1b: fuzzy street tie-breaker (F3) --------------------------
