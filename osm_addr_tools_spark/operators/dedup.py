@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    cache_sigs: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding (a < b).
 
@@ -251,6 +252,13 @@ def minhash_lsh_pairs(
     (band, bucket)). Verification: estimated Jaccard = fraction of agreeing
     signature positions ≥ threshold — a Column expression over the aligned
     signature arrays (zip_with), no Python in the verify step.
+
+    ``cache_sigs``: persist the signature table once instead of letting
+    the band table and the two verify rejoins race to recompute the
+    Arrow UDF (3 plan branches). Off by default for API stability;
+    measured better at r8 bench scale (best 4.33 s vs 4.70 s through the
+    CC composition) — the registered queries pass True. Released via
+    release_persisted_fp(), the standard fingerprint-cache contract.
     """
     # recall proof obligation: a ragged final band would carry fewer rows
     # and a different collision probability than the analysis assumes.
@@ -264,6 +272,9 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         minhash_udf(k, num_perm, seed)(F.col(text_col)).alias("_sig"),
     )
+    if cache_sigs:
+        sig = sig.persist()
+        _PERSISTED_FP.append(sig)  # released via release_persisted_fp()
     band_cols = F.array(
         *[
             F.struct(
@@ -400,12 +411,15 @@ def incremental_minhash_dedup(
     Within-batch stages shuffle only batch-sized tables. The batch
     signature subtree feeds ~6 plan branches (band tables, both verify
     joins, the survivor anti-join) — ``cache_sigs=True`` persists it once
-    (released via release_persisted_fp(), the winnow cache_fp contract);
-    default off, matching the measured small-scale trade where pipelined
-    recompute beats the materialization barrier. At web scale flip it on,
-    or better: the index-append step already writes the batch signatures
-    to columnar storage — compute them FIRST as their own stage and feed
-    that table in.
+    (released via release_persisted_fp(), the winnow cache_fp contract).
+    Default stays off for API stability, but the r8 measurement flipped
+    the small-scale trade: with the leaner CC driver loop the single
+    materialization beats the ~6-branch racing recompute (best 6.1 s vs
+    8.1 s at sf0.1), so callers should pass True (the registered query
+    does). At web scale it is strictly right, or better: the
+    index-append step already writes the batch signatures to columnar
+    storage — compute them FIRST as their own stage and feed that
+    table in.
     """
     if num_perm % bands != 0:
         raise ValueError(

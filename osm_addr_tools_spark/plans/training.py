@@ -81,6 +81,11 @@ def training_manifest(
         raise ValueError("capacity too large for the pack-uid encoding")
 
     # 1. near-dup retention: keep each component's min-id representative
+    # cache_sigs deliberately left off here (r8 measurement): the CC
+    # edge-persist immediately downstream already materializes the pair
+    # plan once, so the signature cache's extra round-trip measured a
+    # wash-to-slightly-worse (best 9.32 s vs 9.16 s), unlike the
+    # standalone pair queries where it wins.
     pairs = minhash_lsh_pairs(
         docs, threshold=dedup_threshold, id_col=id_col, text_col=text_col
     )

@@ -2516,7 +2516,9 @@ def _minhash_oracle_sql(
 def dedup_minhash_lsh(spark, sf_dir):
     from osm_addr_tools_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs_with_planted(spark, sf_dir), threshold=0.5, cache_sigs=True
+    )
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
@@ -2556,7 +2558,9 @@ def dedup_minhash_components(spark, sf_dir):
         connected_components, minhash_lsh_pairs,
     )
 
-    pairs = minhash_lsh_pairs(_docs_with_planted(spark, sf_dir), threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        _docs_with_planted(spark, sf_dir), threshold=0.5, cache_sigs=True
+    )
     return connected_components(pairs.select("a", "b")).select(
         F.col("v").alias("doc_id"), "component"
     )
@@ -2593,7 +2597,7 @@ def docs_dedup_retention(spark, sf_dir):
     )
 
     docs = _docs_with_planted(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, cache_sigs=True)
     comp = connected_components(pairs.select("a", "b"))
     drops = comp.where(F.col("v") != F.col("component")).select(
         F.col("v").alias("doc_id")
@@ -2886,7 +2890,11 @@ def docs_incremental_dedup(spark, sf_dir):
 
     corpus, batch = _docs_incremental(spark, sf_dir)
     idx = build_minhash_index(corpus)
-    return incremental_minhash_dedup(batch, idx, threshold=0.5)
+    # cache_sigs (r8): with the leaner CC driver loop, persisting the
+    # batch signature subtree once measured best 6.1 s vs 8.1 s for the
+    # ~6-branch racing recompute (the r5-era trade that kept it off
+    # flipped once the loop stopped re-spending jobs elsewhere)
+    return incremental_minhash_dedup(batch, idx, threshold=0.5, cache_sigs=True)
 
 
 ORACLES["docs_incremental_dedup"] = _incremental_oracle_sql()
